@@ -1,0 +1,139 @@
+"""Deterministic image payload codec + validation (numpy only).
+
+Per BASELINE.json input_hint the crawl rows carry
+``(image_id, bytes, w, h, fmt, caption, phash)`` and every fetched row
+must pass a per-row invariant: decoded pixels allclose to the expected
+pixels (PSNR ≥ 40 dB for the lossy format) and caption equality.
+
+No image libraries exist in this container, so the codec is a
+self-contained deterministic format:
+
+- expected pixels = seeded PRNG function of ``stable_hash64(image_id)``
+  → any worker re-derives them without side data;
+- ``rgb8-raw``  : magic IRW1 + w:u32 + h:u32 + raw RGB bytes (lossless);
+- ``rgb8-q``    : magic IRQ1 + w:u32 + h:u32 + 6-bit-quantized RGB
+  (uniform step 4 → PSNR ≈ 42.9 dB, always ≥ the 40 dB gate);
+- phash: 8×8 block-mean grayscale thresholded at its mean → 64-bit int.
+
+In a real deployment these functions are swapped for PIL/libjpeg decode
+inside the same Arrow-vectorized UDF; the Spark-side plumbing (binary
+column, batch shapes, validation outputs) is identical.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from infinitycrawler_spark.functions.hashing import rng_for
+
+MAGIC_RAW = b"IRW1"
+MAGIC_Q = b"IRQ1"
+PSNR_GATE_DB = 40.0
+
+
+def expected_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic h×w×3 uint8 pixel array for an image id."""
+    rng = rng_for("pixels", image_id)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def expected_caption(image_id: str, host: str, path: str) -> str:
+    rng = rng_for("caption", image_id)
+    words = ["sunset", "harbor", "mountain", "market", "bridge", "forest",
+             "rooftop", "lantern", "glacier", "orchard", "tram", "mural"]
+    picks = rng.choice(len(words), size=3, replace=False)
+    return f"{words[picks[0]]} {words[picks[1]]} {words[picks[2]]} at {host}{path}"
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape[0], pixels.shape[1]
+    header = struct.pack("<II", w, h)
+    if fmt == "rgb8-raw":
+        return MAGIC_RAW + header + pixels.tobytes()
+    if fmt == "rgb8-q":
+        return MAGIC_Q + header + (pixels & 0xFC).tobytes()
+    raise ValueError(f"unknown image fmt: {fmt}")
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """→ (pixels h×w×3 uint8, fmt). Raises ValueError on corrupt input."""
+    if data is None or len(data) < 12:
+        raise ValueError("image payload too short")
+    magic, rest = data[:4], data[4:]
+    w, h = struct.unpack("<II", rest[:8])
+    body = rest[8:]
+    if len(body) != w * h * 3:
+        raise ValueError("image payload size mismatch")
+    pixels = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+    if magic == MAGIC_RAW:
+        return pixels, "rgb8-raw"
+    if magic == MAGIC_Q:
+        return pixels, "rgb8-q"
+    raise ValueError("unknown image magic")
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """8×8 average-hash over the grayscale block means (deterministic,
+    no DCT needed for a synthetic corpus; stable under the rgb8-q
+    quantization)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    # keep within signed int64 for Spark LongType
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def make_payload(image_id: str, host: str, path: str, w: int, h: int, fmt: str):
+    """→ dict of the input_hint payload columns for a synthetic row."""
+    pixels = expected_pixels(image_id, w, h)
+    return {
+        "image_id": image_id,
+        "bytes": encode_image(pixels, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": expected_caption(image_id, host, path),
+        "phash": phash64(pixels),
+    }
+
+
+def validate_payload(
+    image_id: str, data: bytes, w: int, h: int, fmt: str,
+    caption: str, phash: int, host: str, path: str,
+) -> tuple[bool, float, bool, bool]:
+    """Per-row invariant → (image_ok, psnr_db, phash_match, caption_ok)."""
+    try:
+        pixels, decoded_fmt = decode_image(data)
+    except (ValueError, struct.error):
+        return False, 0.0, False, False
+    if decoded_fmt != fmt or pixels.shape != (h, w, 3):
+        return False, 0.0, False, False
+    expected = expected_pixels(image_id, w, h)
+    if fmt == "rgb8-raw":
+        ok = bool(np.array_equal(pixels, expected))
+        score = float("inf") if ok else psnr_db(pixels, expected)
+    else:
+        score = psnr_db(pixels, expected)
+        ok = score >= PSNR_GATE_DB
+    phash_match = phash64(expected) == phash
+    caption_ok = expected_caption(image_id, host, path) == caption
+    return ok, float(min(score, 99.0)), phash_match, caption_ok

@@ -1,0 +1,56 @@
+"""robots.txt + page-robots semantics (CrawlRunner.cs:96-127,200-213;
+Crawler.cs:81-93 crawl-delay merge incl. the units bug)."""
+
+from infinitycrawler_spark.functions.robots import (
+    evaluate_page_robots,
+    merged_crawl_delay_ms,
+    parse_robots_txt,
+)
+
+
+def test_parse_and_match_basic_site():
+    robots = parse_robots_txt("User-agent: *\nDisallow: /robots-blocked.html\n")
+    assert not robots.is_allowed("/robots-blocked.html", "anybot")
+    assert robots.is_allowed("/index.html", "anybot")
+    assert robots.is_allowed("/", "anybot")
+
+
+def test_longest_match_allow_wins():
+    robots = parse_robots_txt(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n")
+    assert not robots.is_allowed("/private/x", "bot")
+    assert robots.is_allowed("/private/public/x", "bot")
+
+
+def test_agent_specific_group():
+    robots = parse_robots_txt(
+        "User-agent: goodbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n")
+    assert robots.is_allowed("/x", "goodbot/1.0")
+    assert not robots.is_allowed("/x", "otherbot")
+
+
+def test_crawl_delay_parse_and_merge():
+    robots = parse_robots_txt("User-agent: *\nCrawl-delay: 5\nDisallow: /x\n")
+    assert robots.crawl_delay_for("bot") == 5
+    # reference bug (Crawler.cs:88): seconds used as ms → max(5, 1000) = 1000
+    assert merged_crawl_delay_ms(5, 1000, bug_compatible=True) == 1000
+    # spec-correct: 5000ms beats the 1000ms default
+    assert merged_crawl_delay_ms(5, 1000, bug_compatible=False) == 5000
+    assert merged_crawl_delay_ms(None, 700) == 700
+
+
+def test_page_robots_evaluation():
+    assert evaluate_page_robots(["noindex"], "bot") == (False, True)
+    assert evaluate_page_robots(["nofollow"], "bot") == (True, False)
+    assert evaluate_page_robots(["noindex, nofollow"], "bot") == (False, False)
+    assert evaluate_page_robots(["none"], "bot") == (False, False)
+    assert evaluate_page_robots([], "bot") == (True, True)
+    assert evaluate_page_robots(None, "bot") == (True, True)
+
+
+def test_page_robots_agent_scoped():
+    # RobotsController.cs:34-61 header-bot-specific semantics
+    rules = ["onebot: noindex", "twobot: nofollow"]
+    assert evaluate_page_robots(rules, "onebot/2.1") == (False, True)
+    assert evaluate_page_robots(rules, "twobot") == (True, False)
+    assert evaluate_page_robots(rules, "threebot") == (True, True)
