@@ -1,0 +1,269 @@
+"""Admission operator — CrawlRunner.cs:138-214 as DataFrame algebra.
+
+Pipeline order is semantics (the reference's quirks are load-bearing):
+
+1. host/alias scope filter (CrawlRunner.cs:140-152) — broadcast-style
+   membership against the job's allowed-host set;
+2. AddLink seen gate — **only** link candidates consult the seen set
+   (CrawlRunner.cs:61-64); retries/redirects/seeds bypass it. This is
+   the engine's load-bearing anti-join;
+3. page budget — sequential fold in enqueue order replicating the
+   ``expected == max`` check (CrawlRunner.cs:154-162, `==` not `>=`),
+   where redirect candidates skip the check but still consume budget,
+   and success-short-circuited candidates consume none. Inherently
+   sequential *by reference semantics*; it only runs when
+   max_number_of_pages_to_crawl > 0, which caps the crawl (and the
+   fold input) at budget scale. At 10^10-frontier scale the budget is
+   off and admission is fully parallel;
+4. seen insert for every candidate that passed the budget — including
+   ones about to be dropped/terminal (CrawlRunner.cs:164 ordering);
+5. state checks (CrawlRunner.cs:166-198): success short-circuit,
+   MaxRetries (== total attempts), MaxRedirects (result carries chain
+   but no attempts, :190-195);
+6. robots gate (CrawlRunner.cs:200-213): allowed → frontier; denied →
+   RobotsBlocked result with neither attempts nor chain (:208-212).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from infinitycrawler_spark.functions.robots import RobotsFile
+from infinitycrawler_spark.functions.urls import host_of
+from infinitycrawler_spark.settings import CrawlSettings
+
+REDIRECT_CODES = (301, 302, 307)
+
+def _order():
+    # classic-mode F.col needs an active SparkContext → build lazily
+    return [F.col("parent_seq").asc(), F.col("child_pos").asc()]
+
+
+@dataclass
+class AdmissionOutput:
+    frontier_add: DataFrame   # FRONTIER columns
+    results: DataFrame        # RESULTS columns (admission-time results)
+    seen_add: DataFrame       # SEEN columns
+    n_enqueued: int
+    n_admitted: int
+
+
+def _robots_allowed_udf(robots_map: dict[str, RobotsFile], base_host: str,
+                        per_host_robots: bool, user_agent: str):
+    """Vectorized robots gate. Reference-compat mode applies the *base
+    host's* robots file to every admitted host (the reference fetches a
+    single RobotsFile per crawl, Crawler.cs:49, and consults it for all
+    URIs, CrawlRunner.cs:200)."""
+
+    @F.pandas_udf(BooleanType())
+    def allowed(hosts: pd.Series, urls: pd.Series) -> pd.Series:
+        out = []
+        for host, url in zip(hosts, urls):
+            robots = robots_map.get(host if per_host_robots else base_host)
+            if robots is None:
+                out.append(True)
+                continue
+            rest = url.split(host, 1)[1] if host in url else "/"
+            path = rest if rest.startswith("/") else "/" + rest
+            out.append(robots.is_allowed(path, user_agent))
+        return pd.Series(out, dtype="bool")
+
+    return allowed
+
+
+def _budget_fold(flags: list[tuple[bool, bool]], base: int, max_pages: int) -> list[bool]:
+    """Exact replication of the serialized budget semantics. Each flag
+    is (skip_budget, will_short_circuit)."""
+    admitted = []
+    total = base
+    for skip, short in flags:
+        if not skip and total == max_pages:
+            admitted.append(False)
+            continue
+        admitted.append(True)
+        if not short:
+            total += 1
+    return admitted
+
+
+def _empty_results(spark, like: DataFrame | None = None):
+    from infinitycrawler_spark import schemas
+    return spark.createDataFrame([], schema=schemas.RESULTS)
+
+
+def admit(
+    candidates: DataFrame,
+    seen: DataFrame,
+    states: DataFrame,
+    robots_map: dict[str, RobotsFile],
+    settings: CrawlSettings,
+    base_host: str,
+    budget_base: int,
+    seq_base: int,
+    round_no: int,
+    per_host_robots: bool = False,
+    exact_order: bool = True,
+) -> AdmissionOutput:
+    """candidates: CANDIDATES schema rows for one round, where
+    ``moved_chain`` is set for redirect candidates. ``states`` must be
+    the post-fetch-update state table *including* this round's redirect
+    state moves, so a plain left join yields each candidate's effective
+    crawl state."""
+    spark = candidates.sparkSession
+
+    # 1. host scope (broadcast membership — tiny per-job set)
+    if settings.host_aliases is not None:
+        allowed_hosts = {base_host, *settings.host_aliases}
+    else:
+        allowed_hosts = {base_host}
+    cands = candidates.filter(F.col("host").isin(list(allowed_hosts)))
+
+    # engine extension (north rule): depth cap, off by default
+    if settings.max_depth > 0:
+        cands = cands.filter(F.col("depth") <= settings.max_depth)
+
+    # 2. AddLink seen gate + within-round first occurrence (links only)
+    links = cands.filter(F.col("kind") == "link")
+    others = cands.filter(F.col("kind") != "link")
+    links = links.join(seen.select("url"), "url", "left_anti")
+    w_first = Window.partitionBy("url").orderBy(*_order())
+    links = (links.withColumn("_rn", F.row_number().over(w_first))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    cands = others.unionByName(links)
+
+    # 3. effective crawl state
+    st = states.select(
+        F.col("url"),
+        F.col("n_attempts").alias("st_attempts"),
+        F.col("redirect_chain").alias("st_chain"),
+        F.col("last_success").alias("st_success"),
+    )
+    cands = cands.join(st, "url", "left")
+    cands = cands.withColumn(
+        "has_state", F.col("st_attempts").isNotNull()
+    ).withColumn(
+        "eff_attempts", F.coalesce("st_attempts", F.lit(0))
+    ).withColumn(
+        "eff_chain",
+        F.coalesce("st_chain", "moved_chain", F.array().cast("array<string>")),
+    ).withColumn(
+        "eff_success", F.coalesce("st_success", F.lit(False))
+    )
+
+    # 4. budget fold (reference-exact, driver-side, budget-bounded)
+    max_pages = settings.max_number_of_pages_to_crawl
+    if max_pages > 0:
+        ordered = (cands
+                   .select("parent_seq", "child_pos", "skip_budget",
+                           (F.col("has_state") & F.col("eff_success")).alias("short"))
+                   .orderBy(*_order())
+                   .collect())
+        flags = [(r.skip_budget, r.short) for r in ordered]
+        admitted_flags = _budget_fold(flags, budget_base, max_pages)
+        admitted_keys = [(r.parent_seq, r.child_pos)
+                         for r, a in zip(ordered, admitted_flags) if a]
+        if not admitted_keys:
+            cands = cands.limit(0)
+        else:
+            keys_df = spark.createDataFrame(
+                admitted_keys, schema="parent_seq long, child_pos int")
+            cands = cands.join(F.broadcast(keys_df), ["parent_seq", "child_pos"], "left_semi")
+
+    cands = cands.cache()
+    n_admitted = cands.count()
+
+    # 5. seen insert for every admitted candidate (CrawlRunner.cs:164)
+    seen_add = (cands.select("url", "host").distinct()
+                .join(seen.select("url"), "url", "left_anti")
+                .withColumn("url_key", F.xxhash64("url"))
+                .select("url", "url_key", "host"))
+
+    # 6. state checks — routing precedence mirrors CrawlRunner.cs:166-198
+    n_retries = settings.number_of_retries
+    max_redirects = settings.max_number_of_redirects
+    routed = cands.withColumn(
+        "route",
+        F.when(F.col("has_state") & F.col("eff_success"), F.lit("drop"))
+        .when(F.col("has_state") & (F.col("eff_attempts") == n_retries),
+              F.lit("max_retries"))
+        .when(F.col("has_state") & (F.size("eff_chain") == max_redirects),
+              F.lit("max_redirects"))
+        .otherwise(F.lit("gate")),
+    )
+
+    allowed_udf = _robots_allowed_udf(robots_map, base_host, per_host_robots,
+                                      settings.user_agent)
+    gated = routed.filter(F.col("route") == "gate").withColumn(
+        "robots_ok", allowed_udf(F.col("host"), F.col("url")))
+
+    null_links = F.array().cast("array<string>")
+    null_i = F.lit(None).cast("int")
+    empty_chain = F.array().cast("array<string>")
+
+    res_retries = routed.filter(F.col("route") == "max_retries").select(
+        "url", "host", F.lit("MaxRetries").alias("status"),
+        F.col("eff_attempts").alias("n_attempts"),
+        F.col("eff_chain").alias("redirect_chain"),
+        null_i.alias("last_status_code"), null_links.alias("links"),
+        F.lit(None).cast("string").alias("canonical"),
+        F.lit(round_no).alias("round"),
+        F.lit(None).cast("boolean").alias("image_ok"),
+        F.lit(None).cast("double").alias("psnr_db"),
+        F.lit(None).cast("boolean").alias("phash_match"),
+        F.lit(None).cast("boolean").alias("caption_ok"),
+    )
+    # MaxRedirects result omits attempts (CrawlRunner.cs:190-195)
+    res_redirects = routed.filter(F.col("route") == "max_redirects").select(
+        "url", "host", F.lit("MaxRedirects").alias("status"),
+        F.lit(0).alias("n_attempts"),
+        F.col("eff_chain").alias("redirect_chain"),
+        null_i.alias("last_status_code"), null_links.alias("links"),
+        F.lit(None).cast("string").alias("canonical"),
+        F.lit(round_no).alias("round"),
+        F.lit(None).cast("boolean").alias("image_ok"),
+        F.lit(None).cast("double").alias("psnr_db"),
+        F.lit(None).cast("boolean").alias("phash_match"),
+        F.lit(None).cast("boolean").alias("caption_ok"),
+    )
+    # RobotsBlocked at admission carries neither (CrawlRunner.cs:208-212)
+    res_blocked = gated.filter(~F.col("robots_ok")).select(
+        "url", "host", F.lit("RobotsBlocked").alias("status"),
+        F.lit(0).alias("n_attempts"), empty_chain.alias("redirect_chain"),
+        null_i.alias("last_status_code"), null_links.alias("links"),
+        F.lit(None).cast("string").alias("canonical"),
+        F.lit(round_no).alias("round"),
+        F.lit(None).cast("boolean").alias("image_ok"),
+        F.lit(None).cast("double").alias("psnr_db"),
+        F.lit(None).cast("boolean").alias("phash_match"),
+        F.lit(None).cast("boolean").alias("caption_ok"),
+    )
+    results = res_retries.unionByName(res_redirects).unionByName(res_blocked)
+
+    # 7. enqueue: deterministic sequence numbers
+    enq = gated.filter(F.col("robots_ok"))
+    if exact_order:
+        w_seq = Window.orderBy(*_order())
+    else:
+        # scale mode: per-host FIFO is all politeness needs; avoids the
+        # single-partition global window
+        w_seq = Window.partitionBy("host").orderBy(*_order())
+    frontier_add = enq.withColumn(
+        "enqueue_seq", F.row_number().over(w_seq) + F.lit(seq_base)
+    ).select(
+        "url", "host", F.xxhash64("url").alias("url_key"),
+        "enqueue_seq", "depth", F.lit(round_no).alias("round_enqueued"),
+    )
+
+    n_enqueued = frontier_add.count()
+    return AdmissionOutput(
+        frontier_add=frontier_add,
+        results=results,
+        seen_add=seen_add,
+        n_enqueued=n_enqueued,
+        n_admitted=n_admitted,
+    )

@@ -1,0 +1,416 @@
+"""CrawlJob — the BSP round loop (generate → fetch → parse → expand →
+update), the Spark-first shape of Crawler.Crawl + CrawlRunner.ProcessAsync
+(/root/reference/src/InfinityCrawler/Crawler.cs:39-79,
+Internal/CrawlRunner.cs:221-300; SURVEY.md §3.1).
+
+Equivalence to the reference's FIFO loop: a FIFO queue processed
+one-at-a-time yields exactly breadth-first rounds whose per-round
+candidate order is (parent enqueue position, child position) — so the
+full-round BSP enqueue sequence equals the reference's serialized
+enqueue sequence, and the budget/seen folds replay identically (the
+quantity ``results + pending`` is conserved across fetch completions).
+Tests assert this against the golden interpreter per fixture.
+
+Each round commits every state table to the SnapshotStore (atomic
+manifest), which gives exact resume and truncates Spark lineage.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+from dataclasses import dataclass, field, replace
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from infinitycrawler_spark import schemas
+from infinitycrawler_spark.functions.robots import RobotsFile, merged_crawl_delay_ms
+from infinitycrawler_spark.functions.urls import (
+    canonicalize,
+    host_of,
+    resolve_href,
+    scheme_of,
+    strip_fragment,
+)
+from infinitycrawler_spark.operators.admission import REDIRECT_CODES, admit
+from infinitycrawler_spark.operators.fetch import fetch_round, split_attempts
+from infinitycrawler_spark.operators.parse import parse_round
+from infinitycrawler_spark.settings import CrawlSettings
+from infinitycrawler_spark.state.store import SnapshotStore
+
+_FRAG = "#.*$"
+
+
+@dataclass
+class CrawlOutput:
+    results: DataFrame
+    seen: DataFrame
+    metrics: list[dict]
+    enqueue_log: list[str]
+    rounds: int
+    elapsed_s: float
+    store_root: str
+
+
+@dataclass
+class CrawlJob:
+    spark: SparkSession
+    pages: DataFrame                      # CRAWL_PAGES
+    robots_map: dict[str, RobotsFile]
+    sitemap_urls: list[str]
+    seed_uri: str
+    settings: CrawlSettings = field(default_factory=CrawlSettings)
+    store_root: str | None = None
+    per_host_robots: bool = False
+    exact_order: bool = True
+    collect_enqueue_log: bool = True
+    snapshot_every: int = 1               # commit cadence (1 = every round)
+
+    def __post_init__(self):
+        if self.store_root is None:
+            self.store_root = tempfile.mkdtemp(prefix="crawl_state_")
+        self.store = SnapshotStore(self.store_root)
+        self.base_host = host_of(self.seed_uri)
+
+    # ------------------------------------------------------------ setup
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema=schema)
+
+    def _seed_candidates(self) -> DataFrame:
+        root = canonicalize(
+            f"{scheme_of(self.seed_uri)}://{self.base_host}/")
+        urls = [strip_fragment(root)]
+        # sitemap urls: Distinct() preserving order (Crawler.cs:58)
+        for u in dict.fromkeys(self.sitemap_urls):
+            cu = strip_fragment(canonicalize(u) or "")
+            if cu:
+                urls.append(cu)
+        rows = [
+            (u, host_of(u) or "", "seed", -1, i, 0, False, None)
+            for i, u in enumerate(urls)
+        ]
+        return self.spark.createDataFrame(rows, schema=schemas.CANDIDATES)
+
+    def _merged_options(self):
+        opts = self.settings.request_processor_options
+        robots = self.robots_map.get(self.base_host)
+        delay_s = robots.crawl_delay_for(self.settings.user_agent) if robots else None
+        merged = merged_crawl_delay_ms(
+            delay_s, opts.delay_between_request_start_ms,
+            bug_compatible=self.settings.bug_compatible_crawl_delay)
+        return replace(opts, delay_between_request_start_ms=merged)
+
+    # ------------------------------------------------------------- run
+    def run(self, extra_queue_urls: list[str] | None = None,
+            max_rounds: int | None = None, resume: bool = False) -> CrawlOutput:
+        spark = self.spark
+        t0 = time.time()
+        settings = self.settings
+        opts = self._merged_options()
+        pages_meta = self.pages.select(*schemas.PAGES_META_COLS)
+        metrics: list[dict] = []
+        enqueue_log: list[str] = []
+
+        if resume and (manifest := self.store.latest_manifest()):
+            v = manifest["version"]
+            frontier = self.store.read_table(spark, v, "frontier")
+            seen = self.store.read_table(spark, v, "seen")
+            states = self.store.read_table(spark, v, "states")
+            host_state = self.store.read_table(spark, v, "host_state")
+            meta = manifest["meta"]
+            round_no = meta["round"] + 1
+            seq_base = meta["seq_base"]
+            results_total = meta["results_total"]
+            enqueue_log = list(meta.get("enqueue_log", []))
+        else:
+            seen = self._empty(schemas.SEEN)
+            states = self._empty(schemas.STATES)
+            host_state = self._empty(schemas.HOST_STATE)
+            results_total = 0
+            round_no = 0
+            # round-0 admission: seed + sitemap candidates
+            adm = admit(self._seed_candidates(), seen, states, self.robots_map,
+                        settings, self.base_host, budget_base=0, seq_base=0,
+                        round_no=0, per_host_robots=self.per_host_robots,
+                        exact_order=self.exact_order)
+            frontier = adm.frontier_add
+            seen = adm.seen_add
+            seq_base = adm.n_enqueued
+            results0 = adm.results.cache()
+            n_res0 = results0.count()
+            results_total += n_res0
+            if self.collect_enqueue_log:
+                enqueue_log.extend(
+                    r.url for r in frontier.orderBy("enqueue_seq").collect())
+            if extra_queue_urls:
+                # processor.Add bypasses admission and the seen set
+                # (BasicSiteTests.cs:185-188)
+                rows = []
+                for i, u in enumerate(extra_queue_urls):
+                    cu = canonicalize(u) or u
+                    rows.append((cu, host_of(cu) or "", 0,  # url_key filled below
+                                 seq_base + 1 + i, 0, 0))
+                extra = (spark.createDataFrame(rows, schema=schemas.FRONTIER)
+                         .withColumn("url_key", F.xxhash64("url")))
+                frontier = frontier.unionByName(extra)
+                seq_base += len(rows)
+                if self.collect_enqueue_log:
+                    enqueue_log.extend(r[0] for r in rows)
+            self._commit(0 - 1, frontier, seen, states, host_state,
+                         results0, round_no - 1, seq_base, results_total,
+                         enqueue_log, initial=True)
+            frontier, seen, states, host_state = self._reload()
+
+        # ---------------- fixpoint rounds ----------------
+        while True:
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+            if max_rounds is not None and round_no >= max_rounds:
+                break
+            rt0 = time.time()
+
+            if settings.replay_mode == "serialized":
+                first = frontier.orderBy("enqueue_seq").limit(1)
+                due = first
+                carried = frontier.join(due.select("url"), "url", "left_anti")
+                carried_count = n_frontier - 1
+            else:
+                due, carried = frontier, self._empty(schemas.FRONTIER)
+                carried_count = 0
+
+            attempts = fetch_round(due, pages_meta, host_state, opts)
+            attempt_rows, host_state_new = split_attempts(attempts)
+            attempt_rows = attempt_rows.cache()
+            n_fetched = attempt_rows.count()
+
+            # host scheduler state: replace updated hosts
+            host_state = (host_state.join(host_state_new.select("host"),
+                                          "host", "left_anti")
+                          .unionByName(host_state_new))
+
+            # ---- crawl-state update (UriCrawlStates per-attempt append)
+            is_success = (F.col("status_code") >= 200) & (F.col("status_code") <= 299)
+            st_updates = (attempt_rows
+                          .join(states, "url", "left")
+                          .select(
+                              "url",
+                              (F.coalesce("n_attempts", F.lit(0)) + 1).alias("n_attempts"),
+                              F.coalesce("redirect_chain",
+                                         F.array().cast("array<string>")).alias("redirect_chain"),
+                              F.coalesce(is_success, F.lit(False)).alias("last_success")))
+            states1 = (states.join(attempt_rows.select("url"), "url", "left_anti")
+                       .unionByName(st_updates))
+
+            # ---- routing (CrawlRunner.cs:235-291)
+            err = F.col("error").isNotNull()
+            redirecting = (~err) & F.col("status_code").isin(*REDIRECT_CODES)
+            succeeding = (~err) & is_success
+            retrying_5xx = (~err) & (F.col("status_code") >= 500) & (F.col("status_code") <= 599)
+            terminal = (~err) & ~redirecting & ~succeeding & ~retrying_5xx
+
+            redirects = attempt_rows.filter(redirecting).withColumn(
+                "target", _resolve_redirect_udf(F.col("url"), F.col("redirect_to")))
+            successes = attempt_rows.filter(succeeding)
+            retries = attempt_rows.filter(err | retrying_5xx)
+            terminals = attempt_rows.filter(terminal)
+
+            # redirect state moves: drop source states, insert first move
+            # per target where the target has no state (TryAdd semantics)
+            red = redirects.cache()
+            w_target = Window.partitionBy("target").orderBy("enqueue_seq")
+            moved = (red.join(states1.select("url",
+                                             F.col("redirect_chain").alias("src_chain")),
+                              "url", "left")
+                     .withColumn("_rn", F.row_number().over(w_target))
+                     .filter(F.col("_rn") == 1)
+                     .select(
+                         F.col("target").alias("url"),
+                         F.lit(0).alias("n_attempts"),
+                         F.concat(F.coalesce("src_chain", F.array().cast("array<string>")),
+                                  F.array(F.col("url"))).alias("redirect_chain"),
+                         F.lit(False).alias("last_success")))
+            states2 = states1.join(red.select(F.col("url")), "url", "left_anti")
+            states2 = states2.unionByName(
+                moved.join(states2.select("url"), "url", "left_anti"))
+
+            # ---- parse + this round's direct results
+            parsed = parse_round(successes, self.pages, settings).cache()
+            st_info = states1.select(
+                "url", F.col("n_attempts").alias("r_attempts"),
+                F.col("redirect_chain").alias("r_chain"))
+
+            res_terminal = (terminals.join(st_info, "url", "left").select(
+                "url", "host", F.lit("Crawled").alias("status"),
+                F.coalesce("r_attempts", F.lit(1)).alias("n_attempts"),
+                F.coalesce("r_chain", F.array().cast("array<string>")).alias("redirect_chain"),
+                F.col("status_code").alias("last_status_code"),
+                F.array().cast("array<string>").alias("links"),
+                F.lit(None).cast("string").alias("canonical"),
+                F.lit(round_no).alias("round"),
+                F.lit(None).cast("boolean").alias("image_ok"),
+                F.lit(None).cast("double").alias("psnr_db"),
+                F.lit(None).cast("boolean").alias("phash_match"),
+                F.lit(None).cast("boolean").alias("caption_ok")))
+
+            parsed_st = parsed.join(st_info, "url", "left")
+            stripped_links = F.transform(
+                "links", lambda l: F.regexp_replace(l["location"], _FRAG, ""))
+            res_parsed = parsed_st.select(
+                "url", "host",
+                F.when(F.col("can_index"), F.lit("Crawled"))
+                 .otherwise(F.lit("RobotsBlocked")).alias("status"),
+                F.coalesce("r_attempts", F.lit(1)).alias("n_attempts"),
+                F.coalesce("r_chain", F.array().cast("array<string>")).alias("redirect_chain"),
+                "last_status_code",
+                F.when(F.col("can_index"), stripped_links)
+                 .otherwise(F.array().cast("array<string>")).alias("links"),
+                "canonical",
+                F.lit(round_no).alias("round"),
+                "image_ok", "psnr_db", "phash_match", "caption_ok")
+
+            round_results = res_terminal.unionByName(res_parsed).cache()
+            n_round_results = round_results.count()
+            results_total += n_round_results
+
+            # ---- candidates for the next round
+            link_cands = (parsed.filter(F.col("can_index") & F.col("can_follow"))
+                          .select("enqueue_seq", "depth",
+                                  F.posexplode("links").alias("pos", "link"))
+                          .filter(F.col("link.rel").isNull()
+                                  | (F.lower("link.rel") != "nofollow"))
+                          .select(
+                              F.regexp_replace(F.col("link.location"), _FRAG, "").alias("url"),
+                              F.lower(F.parse_url(F.col("link.location"), F.lit("HOST"))).alias("host"),
+                              F.lit("link").alias("kind"),
+                              F.col("enqueue_seq").alias("parent_seq"),
+                              F.col("pos").alias("child_pos"),
+                              (F.col("depth") + 1).alias("depth"),
+                              F.lit(False).alias("skip_budget"),
+                              F.lit(None).cast("array<string>").alias("moved_chain")))
+
+            retry_cands = retries.select(
+                "url", "host", F.lit("retry").alias("kind"),
+                F.col("enqueue_seq").alias("parent_seq"),
+                F.lit(0).alias("child_pos"), "depth",
+                F.lit(False).alias("skip_budget"),
+                F.lit(None).cast("array<string>").alias("moved_chain"))
+
+            redirect_cands = (red.join(states1.select(
+                                  "url", F.col("redirect_chain").alias("src_chain")),
+                                  "url", "left")
+                              .select(
+                                  F.col("target").alias("url"),
+                                  F.lower(F.parse_url("target", F.lit("HOST"))).alias("host"),
+                                  F.lit("redirect").alias("kind"),
+                                  F.col("enqueue_seq").alias("parent_seq"),
+                                  F.lit(0).alias("child_pos"), "depth",
+                                  F.lit(True).alias("skip_budget"),
+                                  F.concat(F.coalesce("src_chain",
+                                                      F.array().cast("array<string>")),
+                                           F.array(F.col("url"))).alias("moved_chain")))
+
+            candidates = link_cands.unionByName(retry_cands).unionByName(redirect_cands)
+
+            adm = admit(candidates, seen, states2, self.robots_map, settings,
+                        self.base_host,
+                        budget_base=results_total + carried_count,
+                        seq_base=seq_base, round_no=round_no,
+                        per_host_robots=self.per_host_robots,
+                        exact_order=self.exact_order)
+
+            adm_results = adm.results.cache()
+            n_adm_results = adm_results.count()
+            results_total += n_adm_results
+            seq_base += adm.n_enqueued
+            if self.collect_enqueue_log and adm.n_enqueued:
+                enqueue_log.extend(
+                    r.url for r in adm.frontier_add.orderBy("enqueue_seq").collect())
+
+            frontier_next = carried.unionByName(adm.frontier_add)
+            seen_next = seen.unionByName(adm.seen_add)
+            delta = round_results.unionByName(adm_results)
+
+            wait_ms, n_err = attempt_rows.agg(
+                F.sum("start_delay_ms"), F.sum(err.cast("long"))).first()
+            metrics.append({
+                "round": round_no, "frontier_size": n_frontier,
+                "fetched": n_fetched, "errors": int(n_err or 0),
+                "results_emitted": n_round_results + n_adm_results,
+                "new_urls": adm.n_enqueued,
+                "politeness_wait_ms": float(wait_ms or 0.0),
+                "retries": retries.count(),
+                "wall_s": time.time() - rt0,
+                "pages_per_s": n_fetched / max(time.time() - rt0, 1e-9),
+            })
+
+            self._commit(round_no, frontier_next, seen_next, states2,
+                         host_state, delta, round_no, seq_base, results_total,
+                         enqueue_log)
+            frontier, seen, states, host_state = self._reload()
+            for df in (attempt_rows, parsed, red, round_results, adm_results):
+                df.unpersist()
+            round_no += 1
+
+        last_v = self.store.versions()[-1]
+        results = (self.store.read_deltas(spark, last_v, "results")
+                   or self._empty(schemas.RESULTS))
+        return CrawlOutput(
+            results=results, seen=seen, metrics=metrics,
+            enqueue_log=enqueue_log, rounds=round_no,
+            elapsed_s=time.time() - t0, store_root=self.store_root)
+
+    # ------------------------------------------------------- snapshots
+    def _commit(self, version_round, frontier, seen, states, host_state,
+                results_delta, round_no, seq_base, results_total,
+                enqueue_log, initial=False):
+        version = version_round + 1  # v0 = initial state before round 0
+        self.store.commit(
+            version,
+            tables={"frontier": frontier, "seen": seen, "states": states,
+                    "host_state": host_state},
+            deltas={"results": results_delta},
+            meta={"round": round_no, "seq_base": seq_base,
+                  "results_total": results_total,
+                  "enqueue_log": enqueue_log if self.collect_enqueue_log else []},
+        )
+
+    def _reload(self):
+        v = self.store.versions()[-1]
+        return (self.store.read_table(self.spark, v, "frontier"),
+                self.store.read_table(self.spark, v, "seen"),
+                self.store.read_table(self.spark, v, "states"),
+                self.store.read_table(self.spark, v, "host_state"))
+
+
+@F.pandas_udf(StringType())
+def _resolve_redirect_udf(urls: pd.Series, redirect_tos: pd.Series) -> pd.Series:
+    """AddRedirect target: resolve Location against the request URI and
+    strip the fragment (CrawlRunner.cs:73-74)."""
+    out = []
+    for url, loc in zip(urls, redirect_tos):
+        if not isinstance(loc, str) or not isinstance(url, str):
+            out.append(None)
+            continue
+        resolved = resolve_href(url, loc)
+        out.append(strip_fragment(canonicalize(resolved) or "") if resolved else None)
+    return pd.Series(out, dtype="object")
+
+
+def crawl_fixture(spark: SparkSession, fixture, settings: CrawlSettings | None = None,
+                  **job_kwargs) -> CrawlOutput:
+    """Convenience: run a CrawlJob over a WebFixture."""
+    from infinitycrawler_spark.functions.robots import parse_robots_txt
+    from infinitycrawler_spark.sources.web import pages_df
+
+    settings = settings or CrawlSettings()
+    robots_map = {h: parse_robots_txt(t) for h, t in fixture.robots_txt.items()}
+    extra = job_kwargs.pop("extra_queue_urls", None)
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fixture), robots_map=robots_map,
+        sitemap_urls=fixture.sitemap_urls, seed_uri=fixture.seed_uri,
+        settings=settings, **job_kwargs)
+    return job.run(extra_queue_urls=extra)

@@ -1,0 +1,177 @@
+"""Explicit StructTypes for every state table — never inferred
+(SURVEY.md §1.3; the reference's schema is compiled C# classes,
+CrawledUri.cs:10-56)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LINK = StructType([
+    StructField("href", StringType()),
+    StructField("text", StringType()),
+    StructField("title", StringType()),
+    StructField("rel", StringType()),
+])
+
+#: The synthetic web (FIXTURES.md §1) + input_hint payload columns.
+CRAWL_PAGES = StructType([
+    StructField("url", StringType(), False),
+    StructField("host", StringType(), False),
+    StructField("status_code", IntegerType(), False),
+    StructField("redirect_to", StringType(), True),
+    StructField("delay_ms", IntegerType(), False),
+    StructField("content_type", StringType(), True),
+    StructField("charset", StringType(), True),
+    StructField("x_robots_tag", ArrayType(StringType()), True),
+    StructField("robots_meta", StringType(), True),
+    StructField("base_href", StringType(), True),
+    StructField("canonical_href", StringType(), True),
+    StructField("links", ArrayType(LINK), True),
+    StructField("image_id", StringType(), False),
+    StructField("bytes", BinaryType(), False),
+    StructField("w", IntegerType(), False),
+    StructField("h", IntegerType(), False),
+    StructField("fmt", StringType(), False),
+    StructField("caption", StringType(), False),
+    StructField("phash", LongType(), False),
+])
+
+#: Columns the fetch path reads — NEVER the payload (column pruning is
+#: the load-bearing optimization: frontier ops must not touch `bytes`).
+PAGES_META_COLS = ["url", "status_code", "redirect_to", "delay_ms"]
+
+FRONTIER = StructType([
+    StructField("url", StringType(), False),
+    StructField("host", StringType(), False),
+    StructField("url_key", LongType(), False),
+    StructField("enqueue_seq", LongType(), False),
+    StructField("depth", IntegerType(), False),
+    StructField("round_enqueued", IntegerType(), False),
+])
+
+SEEN = StructType([
+    StructField("url", StringType(), False),
+    StructField("url_key", LongType(), False),
+    StructField("host", StringType(), False),
+])
+
+STATES = StructType([
+    StructField("url", StringType(), False),
+    StructField("n_attempts", IntegerType(), False),
+    StructField("redirect_chain", ArrayType(StringType()), False),
+    StructField("last_success", BooleanType(), False),
+])
+
+HOST_STATE = StructType([
+    StructField("host", StringType(), False),
+    StructField("backoff_ms", LongType(), False),
+    StructField("successes", LongType(), False),
+    StructField("request_count", LongType(), False),
+    StructField("clock_ms", DoubleType(), False),
+])
+
+ATTEMPT = StructType([
+    StructField("url", StringType(), False),
+    StructField("host", StringType(), False),
+    StructField("enqueue_seq", LongType(), False),
+    StructField("depth", IntegerType(), False),
+    StructField("status_code", IntegerType(), True),
+    StructField("redirect_to", StringType(), True),
+    StructField("error", StringType(), True),
+    StructField("start_delay_ms", DoubleType(), True),
+    StructField("request_start_ms", DoubleType(), True),
+    StructField("elapsed_ms", DoubleType(), True),
+    StructField("is_state", BooleanType(), False),
+    StructField("backoff_ms", LongType(), True),
+    StructField("successes", LongType(), True),
+    StructField("request_count", LongType(), True),
+    StructField("clock_ms", DoubleType(), True),
+])
+
+RESOLVED_LINK = StructType([
+    StructField("location", StringType()),
+    StructField("text", StringType()),
+    StructField("title", StringType()),
+    StructField("rel", StringType()),
+])
+
+PARSED = StructType([
+    StructField("url", StringType(), False),
+    StructField("host", StringType(), False),
+    StructField("enqueue_seq", LongType(), False),
+    StructField("depth", IntegerType(), False),
+    StructField("last_status_code", IntegerType(), True),
+    StructField("can_index", BooleanType(), False),
+    StructField("can_follow", BooleanType(), False),
+    StructField("canonical", StringType(), True),
+    StructField("content_type", StringType(), True),
+    StructField("charset", StringType(), True),
+    StructField("links", ArrayType(RESOLVED_LINK), False),
+    StructField("image_ok", BooleanType(), True),
+    StructField("psnr_db", DoubleType(), True),
+    StructField("phash_match", BooleanType(), True),
+    StructField("caption_ok", BooleanType(), True),
+])
+
+RESULTS = StructType([
+    StructField("url", StringType(), False),
+    StructField("host", StringType(), False),
+    StructField("status", StringType(), False),
+    StructField("n_attempts", IntegerType(), False),
+    StructField("redirect_chain", ArrayType(StringType()), False),
+    StructField("last_status_code", IntegerType(), True),
+    StructField("links", ArrayType(StringType()), False),
+    StructField("canonical", StringType(), True),
+    StructField("round", IntegerType(), False),
+    StructField("image_ok", BooleanType(), True),
+    StructField("psnr_db", DoubleType(), True),
+    StructField("phash_match", BooleanType(), True),
+    StructField("caption_ok", BooleanType(), True),
+])
+
+CANDIDATES = StructType([
+    StructField("url", StringType(), False),
+    StructField("host", StringType(), False),
+    StructField("kind", StringType(), False),  # seed | link | retry | redirect
+    StructField("parent_seq", LongType(), False),
+    StructField("child_pos", IntegerType(), False),
+    StructField("depth", IntegerType(), False),
+    StructField("skip_budget", BooleanType(), False),
+    StructField("moved_chain", ArrayType(StringType()), True),
+])
+
+ROBOTS_RULES = StructType([
+    StructField("host", StringType(), False),
+    StructField("user_agent", StringType(), False),
+    StructField("allow", ArrayType(StringType()), False),
+    StructField("disallow", ArrayType(StringType()), False),
+    StructField("crawl_delay_s", IntegerType(), True),
+])
+
+SITEMAP_SEEDS = StructType([
+    StructField("host", StringType(), False),
+    StructField("url", StringType(), False),
+])
+
+METRICS = StructType([
+    StructField("round", IntegerType(), False),
+    StructField("frontier_size", LongType(), False),
+    StructField("fetched", LongType(), False),
+    StructField("errors", LongType(), False),
+    StructField("results_emitted", LongType(), False),
+    StructField("new_urls", LongType(), False),
+    StructField("politeness_wait_ms", DoubleType(), False),
+    StructField("retries", LongType(), False),
+    StructField("wall_s", DoubleType(), False),
+    StructField("pages_per_s", DoubleType(), False),
+])

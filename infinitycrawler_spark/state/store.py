@@ -1,0 +1,105 @@
+"""Snapshot store — versioned-parquet state tables with atomic commits.
+
+Iceberg-style snapshot semantics without Iceberg jars (none exist in
+this sandbox; the interface is deliberately Iceberg-shaped so a real
+deployment swaps `SnapshotStore` for table appends/overwrites on an
+Iceberg catalog):
+
+- layout: ``root/vNNNN/<table>.parquet`` + ``root/vNNNN/manifest.json``;
+- a version is committed iff its manifest exists (manifest is written
+  last, via atomic rename) — partial writes are invisible;
+- ``results`` is append-only: each version stores only that round's
+  delta; a read unions deltas ≤ version (snapshot isolation);
+- resume: read the latest manifest → exact continuation (round number,
+  sequence base, counters, every state table).
+
+Writing state each round doubles as lineage truncation for the
+iterative round loop (otherwise Spark plans grow unboundedly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ util
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version:05d}")
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("v") and os.path.exists(
+                    os.path.join(self.root, name, "manifest.json")):
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def latest_manifest(self) -> dict | None:
+        versions = self.versions()
+        if not versions:
+            return None
+        with open(os.path.join(self._vdir(versions[-1]), "manifest.json")) as f:
+            return json.load(f)
+
+    # ---------------------------------------------------------- commit
+    def commit(self, version: int, tables: dict[str, DataFrame],
+               deltas: dict[str, DataFrame] | None = None,
+               meta: dict | None = None) -> dict:
+        """Write full-state ``tables`` and append-only ``deltas`` for this
+        version; manifest lands last (atomic rename)."""
+        vdir = self._vdir(version)
+        tmp = vdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        os.makedirs(tmp)
+        table_paths = {}
+        for name, df in tables.items():
+            path = os.path.join(tmp, f"{name}.parquet")
+            df.write.mode("overwrite").parquet(path)
+            table_paths[name] = f"{name}.parquet"
+        delta_paths = {}
+        for name, df in (deltas or {}).items():
+            path = os.path.join(tmp, f"{name}_delta.parquet")
+            df.write.mode("overwrite").parquet(path)
+            delta_paths[name] = f"{name}_delta.parquet"
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "tables": table_paths,
+            "deltas": delta_paths,
+            "meta": meta or {},
+        }
+        with open(os.path.join(tmp, "manifest.json.tmp"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(os.path.join(tmp, "manifest.json.tmp"),
+                  os.path.join(tmp, "manifest.json"))
+        os.rename(tmp, vdir)
+        return manifest
+
+    # ------------------------------------------------------------ read
+    def read_table(self, spark: SparkSession, version: int, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._vdir(version), f"{name}.parquet"))
+
+    def read_deltas(self, spark: SparkSession, upto_version: int, name: str) -> DataFrame | None:
+        paths = []
+        for v in self.versions():
+            if v > upto_version:
+                break
+            p = os.path.join(self._vdir(v), f"{name}_delta.parquet")
+            if os.path.exists(p):
+                paths.append(p)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
