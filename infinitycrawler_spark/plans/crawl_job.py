@@ -67,13 +67,14 @@ class CrawlJob:
     per_host_robots: bool = False
     exact_order: bool = True
     collect_enqueue_log: bool = True
-    snapshot_every: int = 1               # commit cadence (1 = every round)
+    snapshot_every: int = 3               # parquet-commit cadence (rounds)
 
     def __post_init__(self):
         if self.store_root is None:
             self.store_root = tempfile.mkdtemp(prefix="crawl_state_")
         self.store = SnapshotStore(self.store_root)
         self.base_host = host_of(self.seed_uri)
+        self._pending_deltas: list[DataFrame] = []
 
     # ------------------------------------------------------------ setup
     def _empty(self, schema) -> DataFrame:
@@ -185,7 +186,6 @@ class CrawlJob:
             attempts = fetch_round(due, pages_meta, host_state, opts)
             attempt_rows, host_state_new = split_attempts(attempts)
             attempt_rows = attempt_rows.cache()
-            n_fetched = attempt_rows.count()
 
             # host scheduler state: replace updated hosts
             host_state = (host_state.join(host_state_new.select("host"),
@@ -334,27 +334,50 @@ class CrawlJob:
             seen_next = seen.unionByName(adm.seen_add)
             delta = round_results.unionByName(adm_results)
 
-            wait_ms, n_err = attempt_rows.agg(
-                F.sum("start_delay_ms"), F.sum(err.cast("long"))).first()
+            # one pass for every per-attempt metric
+            n_fetched, wait_ms, n_err, n_retry = attempt_rows.agg(
+                F.count("*"), F.sum("start_delay_ms"), F.sum(err.cast("long")),
+                F.sum((err | retrying_5xx).cast("long"))).first()
             metrics.append({
                 "round": round_no, "frontier_size": n_frontier,
-                "fetched": n_fetched, "errors": int(n_err or 0),
+                "fetched": int(n_fetched), "errors": int(n_err or 0),
                 "results_emitted": n_round_results + n_adm_results,
                 "new_urls": adm.n_enqueued,
                 "politeness_wait_ms": float(wait_ms or 0.0),
-                "retries": retries.count(),
+                "retries": int(n_retry or 0),
                 "wall_s": time.time() - rt0,
-                "pages_per_s": n_fetched / max(time.time() - rt0, 1e-9),
+                "pages_per_s": int(n_fetched) / max(time.time() - rt0, 1e-9),
             })
 
-            self._commit(round_no, frontier_next, seen_next, states2,
-                         host_state, delta, round_no, seq_base, results_total,
-                         enqueue_log)
-            frontier, seen, states, host_state = self._reload()
+            if (round_no + 1) % self.snapshot_every == 0:
+                for d in self._pending_deltas:
+                    delta = d.unionByName(delta)
+                self._pending_deltas = []
+                self._commit(round_no, frontier_next, seen_next, states2,
+                             host_state, delta, round_no, seq_base,
+                             results_total, enqueue_log)
+                frontier, seen, states, host_state = self._reload()
+            else:
+                # lineage truncation without parquet I/O; resume point
+                # stays at the last committed snapshot
+                frontier = frontier_next.localCheckpoint(eager=True)
+                seen = seen_next.localCheckpoint(eager=True)
+                states = states2.localCheckpoint(eager=True)
+                host_state = host_state.localCheckpoint(eager=True)
+                self._pending_deltas.append(delta.localCheckpoint(eager=True))
             for df in (attempt_rows, parsed, red, round_results, adm_results):
                 df.unpersist()
             round_no += 1
 
+        if self._pending_deltas:
+            # flush rounds executed since the last parquet snapshot
+            delta = self._pending_deltas[0]
+            for d in self._pending_deltas[1:]:
+                delta = delta.unionByName(d)
+            self._pending_deltas = []
+            self._commit(round_no - 1, frontier, seen, states, host_state,
+                         delta, round_no - 1, seq_base, results_total,
+                         enqueue_log)
         last_v = self.store.versions()[-1]
         results = (self.store.read_deltas(spark, last_v, "results")
                    or self._empty(schemas.RESULTS))

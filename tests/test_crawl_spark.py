@@ -108,6 +108,26 @@ def test_empty_site_max_retries(spark):
     assert all(r.status == "MaxRetries" and r.n_attempts == 3 for r in delayed)
 
 
+def test_resume_from_snapshot_is_exact(spark, tmp_path):
+    """Interrupt after 2 rounds, resume, and match the golden oracle —
+    the north rule's exact-resume criterion."""
+    from infinitycrawler_spark.functions.robots import parse_robots_txt
+    from infinitycrawler_spark.plans.crawl_job import CrawlJob
+    from infinitycrawler_spark.sources.web import pages_df
+
+    fx = basic_site()
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fx),
+        robots_map={h: parse_robots_txt(t) for h, t in fx.robots_txt.items()},
+        sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+        settings=_settings(), store_root=str(tmp_path / "state"))
+    job.run(max_rounds=2)
+    out = job.run(resume=True)
+    g = golden.crawl(basic_site(), _settings())
+    assert _result_set(out.results.collect()) == g.result_set()
+    assert {r.url for r in out.seen.collect()} == g.seen
+
+
 def test_metrics_emitted(basic_crawl):
     out, _ = basic_crawl
     assert out.rounds >= 3
