@@ -1,38 +1,842 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship: build a deterministic link graph from
+  the sf0.001 TPC-H tables (orders→parts→suppliers pages) and run the
+  full crawl engine fixpoint over it; returns the per-host/status
+  result summary.
+- ``queries()``      — one entry per implemented operator family from
+  SURVEY.md §2 (relational crawl primitives, dedup, similarity, text
+  analysis, sessionization).
+- ``oracle_sql()``   — exact ANSI-SQL equivalents for DuckDB. The crawl
+  fixpoint is iterative (not SQL-expressible) → rows-only check.
+
+Every computed column is aliased identically on both sides; float
+aggregates are rounded in-query on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational crawl primitives over the TPC-H-ish tables (SURVEY.md §2.2)
+# =====================================================================
+
+def q_pricing_summary(spark, sf):
+    """Aggregation + filter pushdown (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                 F.count("*").cast("long").alias("n_rows")))
+
+
+def q_topk_budget_window(spark, sf):
+    """Deterministic top-k per group — the max-pages budget window
+    (SURVEY.md O12): row_number over explicit sort keys, never limit."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_orderpriority", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"), "rn"))
+
+
+def q_anti_join_seen(spark, sf):
+    """Anti-join — the URL-seen set pattern (SURVEY.md O10): customers
+    with no large order (the 'seen' side is the filtered orders set)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return (c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n_customers")))
+
+
+def q_semi_join_scope(spark, sf):
+    """Semi-join — host-allowlist scope filter (SURVEY.md O11)."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    return (s.join(li.select("l_suppkey"), s.s_suppkey == li.l_suppkey, "left_semi")
+            .groupBy("s_nationkey")
+            .agg(F.count("*").cast("long").alias("n_suppliers")))
+
+
+def q_broadcast_join(spark, sf):
+    """Broadcast dim join — robots-rules join (SURVEY.md O15)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("long").alias("n_items")))
+
+
+def q_distinct_admission(spark, sf):
+    """Distinct — sitemap URL dedup (SURVEY.md O5)."""
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").cast("long").alias("n_custs")))
+
+
+def q_union_seeds(spark, sf):
+    """Union of seed sources (SURVEY.md O5): customer ∪ supplier nations."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    n = _t(spark, sf, "nation")
+    return (c.unionByName(s).distinct()
+            .join(n, F.col("nationkey") == n.n_nationkey)
+            .groupBy("n_regionkey")
+            .agg(F.count("*").cast("long").alias("n_nations")))
+
+
+def q_multi_join(spark, sf):
+    """3-way equi-join — order→customer→nation lineage rollup."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").cast("long").alias("n_orders")))
+
+
+def q_rollup_metrics(spark, sf):
+    """Rollup — the metrics mart cube (SURVEY.md §2.2 grouping sets)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+def q_case_routing(spark, sf):
+    """CASE routing — status classification (SURVEY.md O17)."""
+    o = _t(spark, sf, "orders")
+    status = (F.when(F.col("o_orderstatus") == "F", "Crawled")
+              .when(F.col("o_orderstatus") == "O", "Pending")
+              .when(F.col("o_orderstatus") == "P", "Retry")
+              .otherwise("Other"))
+    return (o.select(status.alias("crawl_status"))
+            .groupBy("crawl_status")
+            .agg(F.count("*").cast("long").alias("n_orders")))
+
+
+def q_string_canonicalize(spark, sf):
+    """String functions — canonicalization shapes (SURVEY.md O7/O8)."""
+    p = _t(spark, sf, "part")
+    first_word = F.split(F.lower("p_type"), " ").getItem(0)
+    return (p.select(first_word.alias("type_head"), "p_retailprice")
+            .groupBy("type_head")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.round(F.avg("p_retailprice"), 2).alias("avg_price")))
+
+
+def q_date_rounds(spark, sf):
+    """Date functions — per-round time bucketing."""
+    o = _t(spark, sf, "orders")
+    return (o.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                     "o_totalprice")
+            .groupBy("month")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+def q_greatest_delay_merge(spark, sf):
+    """greatest() — the crawl-delay merge (SURVEY.md O4)."""
+    o = _t(spark, sf, "orders")
+    return (o.select("o_orderpriority",
+                     F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("g"))
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.avg("g"), 2).alias("avg_merged"),
+                 F.count("*").cast("long").alias("n_orders")))
+
+
+def q_window_last_attempt(spark, sf):
+    """Window last-per-key — last attempt per URI (SURVEY.md O18)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").cast("long").alias("n_last_orders")))
+
+
+def q_explode_wordcount(spark, sf):
+    """Explode — link expansion shape (SURVEY.md O26) over documents."""
+    d = _t(spark, sf, "documents")
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (d.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word").agg(F.count("*").cast("long").alias("n"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20))
+
+
+# =====================================================================
+# Training-data operators (dedup / similarity / text)
+# =====================================================================
+
+def _with_planted_doc_dups(docs):
+    """The corpus has no natural exact dups; plant a deterministic 10%
+    (re-keyed copies) so the dedup operators have real work."""
+    copies = (docs.filter(F.col("doc_id") % 10 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark, sf):
+    from infinitycrawler_spark.operators.dedup import exact_dedup
+    return exact_dedup(_with_planted_doc_dups(_t(spark, sf, "documents")))
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from infinitycrawler_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), k=8, bands=4, shingle_n=3)
+
+
+def q_dedup_simhash(spark, sf):
+    from infinitycrawler_spark.operators.dedup import simhash_groups
+    return simhash_groups(_t(spark, sf, "documents"), bits=16)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    from infinitycrawler_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), shingle_n=3, threshold=0.8)
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    from infinitycrawler_spark.operators.dedup import embedding_dup_pairs
+    e = _t(spark, sf, "embeddings")
+    planted = (e.filter(F.col("vec_id") % 20 == 0)
+               .withColumn("vec_id", F.col("vec_id") + 1000000))
+    return embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
+
+
+def q_ann_bruteforce_topk(spark, sf):
+    from infinitycrawler_spark.operators.similarity import cosine_topk
+    return cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_ann_lsh_buckets(spark, sf):
+    from infinitycrawler_spark.operators.similarity import lsh_bucket_stats
+    return lsh_bucket_stats(_t(spark, sf, "embeddings"), n_planes=8)
+
+
+def q_ann_lsh_topk(spark, sf):
+    from infinitycrawler_spark.operators.similarity import lsh_ann_topk
+    return lsh_ann_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10, n_planes=4)
+
+
+def q_text_langid(spark, sf):
+    from infinitycrawler_spark.operators.text import lang_id_summary
+    return lang_id_summary(_t(spark, sf, "documents"))
+
+
+def q_text_quality(spark, sf):
+    from infinitycrawler_spark.operators.text import quality_score
+    return quality_score(_t(spark, sf, "documents"))
+
+
+def q_text_tokens(spark, sf):
+    from infinitycrawler_spark.operators.text import token_stats
+    return token_stats(_t(spark, sf, "documents"))
+
+
+def q_text_fingerprint(spark, sf):
+    from infinitycrawler_spark.operators.text import fingerprint
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+# =====================================================================
+# Events: sessionization / windows / JSON
+# =====================================================================
+
+def q_events_sessionize(spark, sf):
+    """Gap-based sessionization (30 min) — stateful-stream shape as a
+    batch window program."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
+    per_user = (marked.groupBy("user_id")
+                .agg(F.sum("new_session").cast("long").alias("n_sessions")))
+    return (per_user.groupBy("n_sessions")
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
+def q_events_tumbling(spark, sf):
+    """Tumbling 1h windows — streaming aggregation shape in batch."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                    "yyyy-MM-dd HH:00").alias("hour"),
+                      "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_events_json(spark, sf):
+    """JSON extraction from the props column."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.round(F.avg("k"), 2).alias("avg_k"),
+                 F.max("k").alias("max_k"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+# =====================================================================
+# The flagship: crawl a web derived from the TPC-H graph
+# =====================================================================
+
+N_SEED_ORDERS = 150
+
+
+def build_web_from_tpch(spark, sf_dir):
+    """Deterministic synthetic web: each order is a page on its
+    customer's nation host linking to its parts' pages (parts.shop),
+    each part page links to its suppliers' pages (suppliers.shop).
+    Status sprinkle: orderkey%37==0 → 404, %41==0 → 500 (retried);
+    robots disallows /order/9* paths; orderkey%53==0 → meta nofollow."""
+    from infinitycrawler_spark import schemas
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def payload(url_col):
+        return [
+            url_col.alias("image_id"),
+            F.lit(bytearray(b"\x00")).alias("bytes"),
+            F.lit(1).alias("w"), F.lit(1).alias("h"),
+            F.lit("rgb8-raw").alias("fmt"),
+            F.lit("").alias("caption"), F.lit(0).cast("long").alias("phash"),
+        ]
+
+    def link_struct(href):
+        return F.struct(
+            href.alias("href"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("rel"))
+
+    order_links = (li.select(
+        "l_orderkey",
+        F.concat(F.lit("http://parts.shop/part/"), F.col("l_partkey")).alias("href"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("href")).alias("hrefs")))
+    orders_pages = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(order_links, o.o_orderkey == order_links.l_orderkey, "left")
+        .select(
+            F.concat(F.lit("http://"),
+                     F.format_string("nation%02d.shop", "c_nationkey"),
+                     F.lit("/order/"), F.col("o_orderkey")).alias("url"),
+            F.format_string("nation%02d.shop", "c_nationkey").alias("host"),
+            F.when(F.col("o_orderkey") % 37 == 0, 404)
+             .when(F.col("o_orderkey") % 41 == 0, 500)
+             .otherwise(200).alias("status_code"),
+            F.lit(None).cast("string").alias("redirect_to"),
+            F.lit(0).alias("delay_ms"),
+            F.lit("text/html").alias("content_type"),
+            F.lit("utf-8").alias("charset"),
+            F.array().cast("array<string>").alias("x_robots_tag"),
+            F.when(F.col("o_orderkey") % 53 == 0, "nofollow")
+             .otherwise(F.lit(None).cast("string")).alias("robots_meta"),
+            F.lit(None).cast("string").alias("base_href"),
+            F.lit(None).cast("string").alias("canonical_href"),
+            F.coalesce(
+                F.transform("hrefs", lambda h: link_struct(h)),
+                F.array().cast(schemas.CRAWL_PAGES["links"].dataType)).alias("links"),
+            *payload(F.concat(F.lit("order-"), F.col("o_orderkey"))),
+        ))
+
+    part_links = (li.select(
+        "l_partkey",
+        F.concat(F.lit("http://suppliers.shop/supplier/"), F.col("l_suppkey")).alias("href"))
+        .groupBy("l_partkey")
+        .agg(F.array_sort(F.collect_set("href")).alias("hrefs")))
+    part_pages = part_links.select(
+        F.concat(F.lit("http://parts.shop/part/"), F.col("l_partkey")).alias("url"),
+        F.lit("parts.shop").alias("host"),
+        F.lit(200).alias("status_code"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.lit(0).alias("delay_ms"),
+        F.lit("text/html").alias("content_type"),
+        F.lit("utf-8").alias("charset"),
+        F.array().cast("array<string>").alias("x_robots_tag"),
+        F.lit(None).cast("string").alias("robots_meta"),
+        F.lit(None).cast("string").alias("base_href"),
+        F.lit(None).cast("string").alias("canonical_href"),
+        F.transform("hrefs", lambda h: link_struct(h)).alias("links"),
+        *payload(F.concat(F.lit("part-"), F.col("l_partkey"))),
+    )
+
+    supplier_pages = (li.select("l_suppkey").distinct().select(
+        F.concat(F.lit("http://suppliers.shop/supplier/"), F.col("l_suppkey")).alias("url"),
+        F.lit("suppliers.shop").alias("host"),
+        F.lit(200).alias("status_code"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.lit(0).alias("delay_ms"),
+        F.lit("text/html").alias("content_type"),
+        F.lit("utf-8").alias("charset"),
+        F.array().cast("array<string>").alias("x_robots_tag"),
+        F.lit(None).cast("string").alias("robots_meta"),
+        F.lit(None).cast("string").alias("base_href"),
+        F.lit(None).cast("string").alias("canonical_href"),
+        F.array().cast(schemas.CRAWL_PAGES["links"].dataType).alias("links"),
+        *payload(F.concat(F.lit("sup-"), F.col("l_suppkey"))),
+    ))
+
+    pages = orders_pages.unionByName(part_pages).unionByName(supplier_pages)
+    seeds = [r.url for r in
+             orders_pages.filter(
+                 F.split(F.col("url"), "/order/").getItem(1).cast("long")
+                 <= N_SEED_ORDERS)
+             .select("url").orderBy("url").collect()]
+    hosts = [r.host for r in pages.select("host").distinct().collect()]
+    return pages, seeds, hosts
+
+
+def crawl_fixpoint(spark, sf_dir):
+    """Full engine fixpoint over the derived web (iterative — rows-only
+    check). Returns the per-host/status summary."""
+    from infinitycrawler_spark.functions.robots import parse_robots_txt
+    from infinitycrawler_spark.plans.crawl_job import CrawlJob
+    from infinitycrawler_spark.settings import CrawlSettings, RequestProcessorOptions
+
+    pages, seeds, hosts = build_web_from_tpch(spark, sf_dir)
+    settings = CrawlSettings(
+        host_aliases=hosts,
+        number_of_retries=2,
+        validate_payload=False,
+        request_processor_options=RequestProcessorOptions().no_delay(),
+    )
+    robots_map = {"nation00.shop": parse_robots_txt(
+        "User-agent: *\nDisallow: /order/9\n")}
+    job = CrawlJob(
+        spark=spark, pages=pages, robots_map=robots_map,
+        sitemap_urls=seeds, seed_uri="http://nation00.shop/",
+        settings=settings, collect_enqueue_log=False, snapshot_every=100)
+    out = job.run()
+    return (out.results.groupBy("host", "status")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("host", "status"))
+
+
+def q_crawl_frontier_expand(spark, sf):
+    """One generate→expand round as pure relational algebra (anti-join
+    dedup + distinct), SQL-checkable: the part URLs discovered from the
+    seed orders' pages."""
+    li = _t(spark, sf, "lineitem")
+    new_urls = (li.filter(F.col("l_orderkey") <= N_SEED_ORDERS)
+                .select(F.concat(F.lit("http://parts.shop/part/"),
+                                 F.col("l_partkey")).alias("url"))
+                .distinct())
+    return (new_urls
+            .withColumn("partkey",
+                        F.split("url", "/part/").getItem(1).cast("long"))
+            .select("url", "partkey"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return crawl_fixpoint(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational crawl primitives
+        "pricing_summary": q_pricing_summary,
+        "topk_budget_window": q_topk_budget_window,
+        "anti_join_seen": q_anti_join_seen,
+        "semi_join_scope": q_semi_join_scope,
+        "broadcast_join": q_broadcast_join,
+        "distinct_admission": q_distinct_admission,
+        "union_seeds": q_union_seeds,
+        "multi_join": q_multi_join,
+        "rollup_metrics": q_rollup_metrics,
+        "case_routing": q_case_routing,
+        "string_canonicalize": q_string_canonicalize,
+        "date_rounds": q_date_rounds,
+        "greatest_delay_merge": q_greatest_delay_merge,
+        "window_last_attempt": q_window_last_attempt,
+        "explode_wordcount": q_explode_wordcount,
+        # training-data operators
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        # events
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "events_json": q_events_json,
+        # crawl
+        "crawl_frontier_expand": q_crawl_frontier_expand,
+        "crawl_fixpoint": crawl_fixpoint,  # iterative → rows-only check
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_budget_window": """
+            SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rn
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+                  FROM orders) t
+            WHERE rn <= 3
+        """,
+        "anti_join_seen": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
+            GROUP BY c_mktsegment
+        """,
+        "semi_join_scope": """
+            SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+            GROUP BY s_nationkey
+        """,
+        "broadcast_join": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "distinct_admission": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "union_seeds": """
+            SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+            FROM (SELECT c_nationkey AS nationkey FROM customer
+                  UNION SELECT s_nationkey FROM supplier) u
+            JOIN nation ON nationkey = n_nationkey
+            GROUP BY n_regionkey
+        """,
+        "multi_join": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "rollup_metrics": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "case_routing": """
+            SELECT CASE o_orderstatus WHEN 'F' THEN 'Crawled'
+                        WHEN 'O' THEN 'Pending' WHEN 'P' THEN 'Retry'
+                        ELSE 'Other' END AS crawl_status,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "string_canonicalize": """
+            SELECT string_split(lower(p_type), ' ')[1] AS type_head,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY 1
+        """,
+        "date_rounds": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        """,
+        "greatest_delay_merge": """
+            SELECT o_orderpriority,
+                   round(avg(greatest(o_totalprice, 150000.0)), 2) AS avg_merged,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "window_last_attempt": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_last_orders
+            FROM (SELECT o_orderstatus,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders) t
+            WHERE rn = 1 GROUP BY o_orderstatus
+        """,
+        "explode_wordcount": """
+            SELECT word, n, rank FROM (
+                SELECT word, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INT) AS rank
+                FROM (SELECT word, CAST(count(*) AS BIGINT) AS n
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM documents) w
+                      GROUP BY word) g) r
+            WHERE rank <= 20
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+            SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_minhash_lsh": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS sh
+                FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) t(i)),
+            salted AS (
+                SELECT doc_id, salt, min(md5(salt || ':' || sh)) AS mh
+                FROM shingles, unnest(generate_series(0, 7)) s(salt)
+                GROUP BY doc_id, salt),
+            banded AS (
+                SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+                       string_agg(salt || '=' || mh, '|' ORDER BY salt || '=' || mh) AS sig
+                FROM salted GROUP BY doc_id, 2)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": """
+            WITH hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents) t),
+            bits AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM hashed, unnest(generate_series(0, 15)) bb(b)
+                GROUP BY doc_id, b),
+            sims AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id)
+            SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper
+            FROM sims GROUP BY simhash HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+                FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) >= 0.8
+        """,
+        "dedup_embedding_cosine": """
+            WITH base AS (
+                SELECT vec_id, label, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, label, embedding FROM embeddings
+                WHERE vec_id % 20 = 0),
+            e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM base),
+            pairs AS (
+                SELECT a.label,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT label, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs WHERE cos >= 0.95 GROUP BY label ORDER BY label
+        """,
+        "ann_bruteforce_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       round(list_dot_product(v, qv)
+                             / (sqrt(list_dot_product(v, v))
+                                * sqrt(list_dot_product(qv, qv))), 4) AS cos
+                FROM e, q WHERE vec_id <> 0)
+            SELECT vec_id, cos, rank FROM (
+                SELECT vec_id, cos,
+                       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+                FROM scored) r
+            WHERE rank <= 10
+        """,
+        "ann_lsh_buckets": """
+            WITH b AS (
+                SELECT vec_id,
+                       CAST((CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END)
+                          + (CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END)
+                          + (CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END)
+                          + (CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END)
+                          + (CASE WHEN embedding[9] > embedding[10] THEN 16 ELSE 0 END)
+                          + (CASE WHEN embedding[11] > embedding[12] THEN 32 ELSE 0 END)
+                          + (CASE WHEN embedding[13] > embedding[14] THEN 64 ELSE 0 END)
+                          + (CASE WHEN embedding[15] > embedding[16] THEN 128 ELSE 0 END)
+                          AS INT) AS bucket
+                FROM embeddings)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "ann_lsh_topk": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       CAST((CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END)
+                          + (CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END)
+                          + (CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END)
+                          + (CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END)
+                          AS INT) AS bucket
+                FROM embeddings),
+            q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       round(list_dot_product(v, qv)
+                             / (sqrt(list_dot_product(v, v))
+                                * sqrt(list_dot_product(qv, qv))), 4) AS cos
+                FROM e, q WHERE vec_id <> 0 AND bucket = qbucket)
+            SELECT vec_id, cos, rank FROM (
+                SELECT vec_id, cos,
+                       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+                FROM scored) r
+            WHERE rank <= 10
+        """,
+        "text_langid": """
+            WITH scored AS (
+                SELECT doc_id,
+                  (CASE WHEN ' '||text||' ' LIKE '% the %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% and %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% of %' THEN 1 ELSE 0 END) AS hits_en,
+                  (CASE WHEN ' '||text||' ' LIKE '% der %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% und %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% das %' THEN 1 ELSE 0 END) AS hits_de,
+                  (CASE WHEN ' '||text||' ' LIKE '% le %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% et %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% la %' THEN 1 ELSE 0 END) AS hits_fr,
+                  (CASE WHEN ' '||text||' ' LIKE '% el %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% y %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' '||text||' ' LIKE '% de %' THEN 1 ELSE 0 END) AS hits_es
+                FROM documents),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                            ELSE 'es' END AS lang_pred
+                FROM scored)
+            SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "text_quality": """
+            WITH s AS (
+                SELECT source,
+                       round(least(length(text) / 400.0, 1.0) * 0.4
+                           + (length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                              / greatest(length(text), 1)) * 0.4
+                           + least(len(string_split(text, ' ')) / 80.0, 1.0) * 0.2,
+                           4) AS score
+                FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(score), 4) AS avg_score
+            FROM s GROUP BY source ORDER BY source
+        """,
+        "text_tokens": """
+            WITH t AS (
+                SELECT lang,
+                       len(string_split_regex(
+                           trim(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')),
+                           ' +')) AS n_tokens
+                FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_tokens), 2) AS avg_tokens,
+                   max(n_tokens) AS max_tokens, min(n_tokens) AS min_tokens
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "text_fingerprint": """
+            WITH f AS (
+                SELECT source,
+                       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+                FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
+            FROM f GROUP BY source ORDER BY source
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            per_user AS (
+                SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+                FROM marked GROUP BY user_id)
+            SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+            FROM per_user GROUP BY n_sessions
+        """,
+        "events_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_json": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract(props, '$.k') AS INT)), 2) AS avg_k,
+                   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "crawl_frontier_expand": f"""
+            SELECT url, partkey FROM (
+                SELECT DISTINCT 'http://parts.shop/part/' || l_partkey AS url,
+                       CAST(l_partkey AS BIGINT) AS partkey
+                FROM lineitem WHERE l_orderkey <= {N_SEED_ORDERS}) t
+        """,
+        # crawl_fixpoint: iterative engine loop — intentionally no oracle
+    }

@@ -1,0 +1,152 @@
+"""Deduplication operators for training-data pipelines.
+
+Each operator is pure DataFrame algebra (JVM-side, no Python UDFs) so
+Catalyst/AQE handle pushdown and skew; every hash is ``md5`` (identical
+in Spark and DuckDB/ANSI engines) so each operator has an exact SQL
+oracle. Designed for the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+Scale notes (100 TB):
+- exact dedup: one hash-shuffle on the digest — the same shape as the
+  crawl engine's seen-set;
+- MinHash/LSH: shingle explosion is the heavy stage; it is a narrow op
+  (explode) followed by partial aggregation on (doc, salt) — map-side
+  combine keeps the shuffle at |docs|·k rows, not |shingles|·k;
+- banding joins are self-joins on band signatures: high-frequency
+  buckets (boilerplate) are the skew risk → cap bucket width upstream
+  or enable AQE skew-join (on by default in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hex8_to_long(col):
+    """First 8 hex chars of an md5 as a bigint — portable to ANSI SQL
+    (`cast('0x' || substr(md5(x),1,8) as bigint)`)."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content digest → (text_hash, n_docs,
+    keeper). The crawl seen-set pattern applied to content."""
+    return (docs
+            .groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("keeper"))
+            .filter(F.col("n_docs") > 1))
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc → (doc_id, sh)."""
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    # guard: sequence(1, 0) would *descend* in Spark → empty array instead
+    shingle_arr = F.when(
+        F.size("words") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("words") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("words", i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
+    """k salted-md5 minhashes per doc → (doc_id, salt, mh). Uses k
+    independent salts instead of permutations (standard trick; identical
+    collision behavior for dedup purposes)."""
+    spark = shingles.sparkSession
+    salts = spark.range(k).select(F.col("id").cast("int").alias("salt"))
+    return (shingles.crossJoin(F.broadcast(salts))
+            .select("doc_id", "salt",
+                    F.md5(F.concat_ws(":", F.col("salt"), F.col("sh"))).alias("h"))
+            .groupBy("doc_id", "salt")
+            .agg(F.min("h").alias("mh")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: band the k minhashes into ``bands`` groups;
+    docs sharing any full band signature are candidates →
+    (doc_a, doc_b) distinct, doc_a < doc_b."""
+    sigs = minhash_signatures(word_shingles(docs, shingle_n), k)
+    rows_per_band = k // bands
+    banded = (sigs
+              .withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
+              .groupBy("doc_id", "band")
+              .agg(F.array_join(F.array_sort(
+                  F.collect_list(F.concat_ws("=", F.col("salt"), F.col("mh")))),
+                  "|").alias("sig")))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def simhash_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over word multisets (bit b set iff Σ ±1 votes > 0, vote
+    from bit b of md5(word)) → near-dup groups (simhash, n_docs)."""
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hashed = words.select(
+        "doc_id", _hex8_to_long(F.md5("w")).alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0)
+        sim = term if sim is None else sim + term
+    return (per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+            .groupBy("simhash")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("keeper"))
+            .filter(F.col("n_docs") > 1))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle →
+    (doc_a, doc_b, jaccard). Shingle self-join bounded by distinct
+    shingles; boilerplate-heavy corpora need a frequency cap upstream."""
+    sh = word_shingles(docs, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (a.join(b, "sh")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("common")))
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (common.join(sz_a, "doc_a").join(sz_b, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("common")
+                                / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate embedding pairs by cosine ≥ threshold, restricted
+    to same ``label`` to bound the pair space (the production path
+    replaces the label block with LSH buckets, similarity.py) →
+    (label, n_pairs)."""
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb"))
+    pairs = (a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(dot / (norm("va") * norm("vb")), 4))
+             .filter(F.col("cos") >= threshold))
+    return (pairs.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .orderBy("label"))

@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline (one broadcast of
+the query vector, a narrow map, one top-k — no shuffle besides the
+final ordering); the LSH-bucketed variant is the 100 TB path: bucket
+assignment is a narrow projection, candidate generation is a bucket
+self-join (AQE skew-join handles hot buckets), and only candidates pay
+the full dot product. All math in double, JVM-side expressions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-k neighbors of one stored vector → (vec_id, cos, rank)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"))
+    scored = (e.filter(F.col("vec_id") != query_vec_id)
+              .crossJoin(F.broadcast(q))
+              .select("vec_id",
+                      F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+                      .alias("cos")))
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "cos", "rank"))
+
+
+def lsh_bucket(col, n_planes: int = 8):
+    """Cheap deterministic LSH bucket: bit j compares coordinates
+    (2j, 2j+1) — a fixed ±1 two-coordinate hyperplane. SQL-portable
+    (element_at is 1-based in both Spark and DuckDB lists)."""
+    bucket = None
+    for j in range(n_planes):
+        bit = F.when(F.element_at(col, 2 * j + 1) > F.element_at(col, 2 * j + 2),
+                     1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_bucket_stats(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Bucket histogram + intra-bucket candidate-pair counts — the
+    work-bound estimate for LSH-ANN at scale → (bucket, n_vecs, n_pairs)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bucketed = e.select("vec_id", lsh_bucket(F.col("v"), n_planes).alias("bucket"))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_vecs"))
+            .withColumn("n_pairs",
+                        (F.col("n_vecs") * (F.col("n_vecs") - 1) / 2).cast("long"))
+            .orderBy("bucket"))
+
+
+def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+                 n_planes: int = 4) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's LSH
+    bucket (the scale path: |bucket| ≪ |table|) → (vec_id, cos, rank)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
+    scored = (e.filter(F.col("vec_id") != query_vec_id)
+              .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+              .select("vec_id",
+                      F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+                      .alias("cos")))
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "cos", "rank"))

@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data curation over ``documents``
+(doc_id, text, lang, source, n_chars). All JVM-side expressions
+(regexp/split/length) — no Python in the hot path — each with an exact
+ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword markers (deterministic n-gram heuristic)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+}
+
+
+def _marker_hits(lang: str):
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hit = None
+    for m in LANG_MARKERS[lang]:
+        h = F.when(padded.like(f"% {m} %"), 1).otherwise(0)
+        hit = h if hit is None else hit + h
+    return hit
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID → (doc_id, lang_pred). Ties break by the
+    fixed language order en > de > fr > es > und."""
+    scored = docs.select(
+        "doc_id",
+        *[(_marker_hits(lang)).alias(f"hits_{lang}") for lang in LANG_MARKERS])
+    # pick the first language (in declared order) with the maximum
+    # positive hit count
+    hits = [F.col(f"hits_{lang}") for lang in LANG_MARKERS]
+    max_hits = F.greatest(*hits)
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((F.col(f"hits_{lang}") == max_hits) & (max_hits > 0),
+                      F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+def lang_id_summary(docs: DataFrame) -> DataFrame:
+    return (lang_id(docs).groupBy("lang_pred")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("lang_pred"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/alpha-ratio/mean-word-length quality heuristic →
+    per-source (n_docs, avg_score)."""
+    txt = F.col("text")
+    n = F.length(txt)
+    alpha = F.length(F.regexp_replace(txt, "[^a-z ]", ""))
+    words = F.size(F.split(txt, " "))
+    score = (
+        F.least(n / F.lit(400.0), F.lit(1.0)) * 0.4
+        + (alpha / F.greatest(n, F.lit(1))) * 0.4
+        + F.least(words / F.lit(80.0), F.lit(1.0)) * 0.2
+    )
+    return (docs.select("source", F.round(score, 4).alias("score"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.avg("score"), 4).alias("avg_score"))
+            .orderBy("source"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace+punctuation tokenization (BPE-ish pre-tokenizer shape)
+    → per-lang token stats."""
+    tokens = F.size(F.split(F.trim(F.regexp_replace("text", "[^a-z0-9 ]", " ")),
+                            " +"))
+    return (docs.select("lang", tokens.alias("n_tokens"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.min("n_tokens").alias("min_tokens"))
+            .orderBy("lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized content fingerprint (md5 of lowercase alnum) →
+    per-source distinct/duplicate counts."""
+    fp = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    return (docs.select("source", fp.alias("fp"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("fp").cast("long").alias("n_distinct"))
+            .withColumn("n_dups", F.col("n_docs") - F.col("n_distinct"))
+            .orderBy("source"))

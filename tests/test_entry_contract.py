@@ -1,0 +1,65 @@
+"""Driver-contract guard: a representative subset of queries() must
+match oracle_sql() on DuckDB at sf0.001 (the full sweep runs via
+tools/check_oracles.py at sf0.01 — this keeps CI fast)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+SUBSET = [
+    "pricing_summary", "topk_budget_window", "anti_join_seen",
+    "broadcast_join", "rollup_metrics", "explode_wordcount",
+    "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk",
+    "text_tokens", "events_sessionize", "crawl_frontier_expand",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=lambda t: tuple(
+        (v is None, str(type(v)), str(v)) for v in t))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _rows(scols, srows) == _rows(dcols, drows)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"host", "status", "n"}
