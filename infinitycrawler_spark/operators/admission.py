@@ -108,6 +108,7 @@ def admit(
     round_no: int,
     per_host_robots: bool = False,
     exact_order: bool = True,
+    lazy_counts: bool = False,
 ) -> AdmissionOutput:
     """candidates: CANDIDATES schema rows for one round, where
     ``moved_chain`` is set for redirect candidates. ``states`` must be
@@ -174,8 +175,10 @@ def admit(
                 admitted_keys, schema="parent_seq long, child_pos int")
             cands = cands.join(F.broadcast(keys_df), ["parent_seq", "child_pos"], "left_semi")
 
+    # always cache: three consumers (seen insert, results routing, enqueue)
+    # would otherwise recompute the explode+anti-join+window pipeline
     cands = cands.cache()
-    n_admitted = cands.count()
+    n_admitted = -1 if lazy_counts else cands.count()
 
     # 5. seen insert for every admitted candidate (CrawlRunner.cs:164)
     seen_add = (cands.select("url", "host").distinct()
@@ -259,7 +262,7 @@ def admit(
         "enqueue_seq", "depth", F.lit(round_no).alias("round_enqueued"),
     )
 
-    n_enqueued = frontier_add.count()
+    n_enqueued = -1 if lazy_counts else frontier_add.count()
     return AdmissionOutput(
         frontier_add=frontier_add,
         results=results,

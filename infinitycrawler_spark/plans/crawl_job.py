@@ -60,7 +60,7 @@ class CrawlJob:
     spark: SparkSession
     pages: DataFrame                      # CRAWL_PAGES
     robots_map: dict[str, RobotsFile]
-    sitemap_urls: list[str]
+    sitemap_urls: list[str] | DataFrame
     seed_uri: str
     settings: CrawlSettings = field(default_factory=CrawlSettings)
     store_root: str | None = None
@@ -68,6 +68,7 @@ class CrawlJob:
     exact_order: bool = True
     collect_enqueue_log: bool = True
     snapshot_every: int = 3               # parquet-commit cadence (rounds)
+    eager_checkpoint: bool = True         # materialize round state eagerly
 
     def __post_init__(self):
         if self.store_root is None:
@@ -75,6 +76,9 @@ class CrawlJob:
         self.store = SnapshotStore(self.store_root)
         self.base_host = host_of(self.seed_uri)
         self._pending_deltas: list[DataFrame] = []
+        self._deferred_unpersist: list[DataFrame] = []
+        self._next_frontier_count: int | None = None
+        self._n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # ------------------------------------------------------------ setup
     def _empty(self, schema) -> DataFrame:
@@ -83,6 +87,26 @@ class CrawlJob:
     def _seed_candidates(self) -> DataFrame:
         root = canonicalize(
             f"{scheme_of(self.seed_uri)}://{self.base_host}/")
+        if isinstance(self.sitemap_urls, DataFrame):
+            # scale path: seeds stay distributed (a driver-side list of
+            # 10^7+ urls would serialize through createDataFrame)
+            w = (Window.orderBy("url") if self.exact_order
+                 else Window.partitionBy("host").orderBy("url"))
+            seeds = (self.sitemap_urls
+                     .select(F.regexp_replace("url", _FRAG, "").alias("url"))
+                     .distinct()
+                     .withColumn("host", F.lower(F.parse_url("url", F.lit("HOST"))))
+                     .select(
+                         "url", "host", F.lit("seed").alias("kind"),
+                         F.lit(-1).cast("long").alias("parent_seq"),
+                         F.row_number().over(w).alias("child_pos"),
+                         F.lit(0).alias("depth"),
+                         F.lit(False).alias("skip_budget"),
+                         F.lit(None).cast("array<string>").alias("moved_chain")))
+            root_row = self.spark.createDataFrame(
+                [(strip_fragment(root), self.base_host, "seed", -1, 0, 0, False, None)],
+                schema=schemas.CANDIDATES)
+            return root_row.unionByName(seeds)
         urls = [strip_fragment(root)]
         # sitemap urls: Distinct() preserving order (Crawler.cs:58)
         for u in dict.fromkeys(self.sitemap_urls):
@@ -109,6 +133,7 @@ class CrawlJob:
             max_rounds: int | None = None, resume: bool = False) -> CrawlOutput:
         spark = self.spark
         t0 = time.time()
+        self._next_frontier_count = None
         settings = self.settings
         opts = self._merged_options()
         pages_meta = self.pages.select(*schemas.PAGES_META_COLS)
@@ -167,7 +192,10 @@ class CrawlJob:
 
         # ---------------- fixpoint rounds ----------------
         while True:
-            n_frontier = frontier.count()
+            if self._next_frontier_count is not None:
+                n_frontier = self._next_frontier_count
+            else:
+                n_frontier = frontier.count()
             if n_frontier == 0:
                 break
             if max_rounds is not None and round_no >= max_rounds:
@@ -202,8 +230,10 @@ class CrawlJob:
                               F.coalesce("redirect_chain",
                                          F.array().cast("array<string>")).alias("redirect_chain"),
                               F.coalesce(is_success, F.lit(False)).alias("last_success")))
+            # cached: five consumers (states2, moved, st_info×2, redirect
+            # chains) would otherwise re-run the join per materialization
             states1 = (states.join(attempt_rows.select("url"), "url", "left_anti")
-                       .unionByName(st_updates))
+                       .unionByName(st_updates)).cache()
 
             # ---- routing (CrawlRunner.cs:235-291)
             err = F.col("error").isNotNull()
@@ -272,9 +302,14 @@ class CrawlJob:
                 F.lit(round_no).alias("round"),
                 "image_ok", "psnr_db", "phash_match", "caption_ok")
 
-            round_results = res_terminal.unionByName(res_parsed).cache()
-            n_round_results = round_results.count()
-            results_total += n_round_results
+            # precise mode (budget active or exact ordering): maintain the
+            # running totals the budget fold needs, at the cost of extra
+            # actions. Scale mode defers all counting to one pass.
+            precise = settings.max_number_of_pages_to_crawl > 0 or self.exact_order
+            round_results = res_terminal.unionByName(res_parsed)
+            if precise:
+                round_results = round_results.cache()
+                results_total += round_results.count()
 
             # ---- candidates for the next round
             link_cands = (parsed.filter(F.col("can_index") & F.col("can_follow"))
@@ -320,53 +355,83 @@ class CrawlJob:
                         budget_base=results_total + carried_count,
                         seq_base=seq_base, round_no=round_no,
                         per_host_robots=self.per_host_robots,
-                        exact_order=self.exact_order)
+                        exact_order=self.exact_order,
+                        lazy_counts=not precise)
 
-            adm_results = adm.results.cache()
-            n_adm_results = adm_results.count()
-            results_total += n_adm_results
-            seq_base += adm.n_enqueued
-            if self.collect_enqueue_log and adm.n_enqueued:
-                enqueue_log.extend(
-                    r.url for r in adm.frontier_add.orderBy("enqueue_seq").collect())
+            adm_results = adm.results
+            if precise:
+                adm_results = adm_results.cache()
+                results_total += adm_results.count()
+                seq_base += adm.n_enqueued
+                if self.collect_enqueue_log and adm.n_enqueued:
+                    enqueue_log.extend(
+                        r.url for r in adm.frontier_add.orderBy("enqueue_seq").collect())
 
-            frontier_next = carried.unionByName(adm.frontier_add)
-            seen_next = seen.unionByName(adm.seen_add)
-            delta = round_results.unionByName(adm_results)
+            # localCheckpoint truncates the logical plan NOW (the round
+            # loop would otherwise grow it exponentially — even planning/
+            # explain blows up). The coalesce is load-bearing too: unions
+            # concatenate partition lists, so without it partition counts
+            # (and task counts, and task-closure sizes) grow every round
+            # — measured 1056 tasks on the final delta write.
+            eager = self.eager_checkpoint
+            np_ = self._n_parts
+            frontier_next = (carried.unionByName(adm.frontier_add)
+                             .coalesce(np_).localCheckpoint(eager=eager))
+            seen_next = (seen.unionByName(adm.seen_add)
+                         .coalesce(np_).localCheckpoint(eager=eager))
+            states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
+            host_state = host_state.coalesce(np_).localCheckpoint(eager=eager)
+            delta = (round_results.unionByName(adm_results)
+                     .coalesce(np_).localCheckpoint(eager=eager))
 
             # one pass for every per-attempt metric
             n_fetched, wait_ms, n_err, n_retry = attempt_rows.agg(
                 F.count("*"), F.sum("start_delay_ms"), F.sum(err.cast("long")),
                 F.sum((err | retrying_5xx).cast("long"))).first()
+            n_delta = delta.count()
+            if not precise:
+                results_total += n_delta
+            # frontier stats in one action; materializes the cache
+            n_next, max_seq = frontier_next.agg(
+                F.count("*"), F.max("enqueue_seq")).first()
+            if not precise:
+                seq_base = max(seq_base, int(max_seq) if max_seq is not None else seq_base)
             metrics.append({
                 "round": round_no, "frontier_size": n_frontier,
                 "fetched": int(n_fetched), "errors": int(n_err or 0),
-                "results_emitted": n_round_results + n_adm_results,
-                "new_urls": adm.n_enqueued,
+                "results_emitted": int(n_delta),
+                "new_urls": int(n_next) - carried_count,
                 "politeness_wait_ms": float(wait_ms or 0.0),
                 "retries": int(n_retry or 0),
                 "wall_s": time.time() - rt0,
                 "pages_per_s": int(n_fetched) / max(time.time() - rt0, 1e-9),
             })
+            self._next_frontier_count = int(n_next)
 
+            # old state tables stay cached until the next parquet commit —
+            # the new persisted tables still reference them lazily
+            self._deferred_unpersist.extend(
+                [attempt_rows, parsed, red, round_results, adm_results,
+                 states1, frontier, seen, states])
             if (round_no + 1) % self.snapshot_every == 0:
                 for d in self._pending_deltas:
                     delta = d.unionByName(delta)
+                self._deferred_unpersist.extend(self._pending_deltas)
                 self._pending_deltas = []
                 self._commit(round_no, frontier_next, seen_next, states2,
                              host_state, delta, round_no, seq_base,
                              results_total, enqueue_log)
+                self._deferred_unpersist.extend(
+                    [frontier_next, seen_next, states2, host_state, delta])
                 frontier, seen, states, host_state = self._reload()
+                for df in self._deferred_unpersist:
+                    df.unpersist()
+                self._deferred_unpersist = []
             else:
-                # lineage truncation without parquet I/O; resume point
-                # stays at the last committed snapshot
-                frontier = frontier_next.localCheckpoint(eager=True)
-                seen = seen_next.localCheckpoint(eager=True)
-                states = states2.localCheckpoint(eager=True)
-                host_state = host_state.localCheckpoint(eager=True)
-                self._pending_deltas.append(delta.localCheckpoint(eager=True))
-            for df in (attempt_rows, parsed, red, round_results, adm_results):
-                df.unpersist()
+                # persisted (lazy cache); lineage is truncated at the next
+                # parquet commit, resume point = last committed snapshot
+                frontier, seen, states = frontier_next, seen_next, states2
+                self._pending_deltas.append(delta)
             round_no += 1
 
         if self._pending_deltas:

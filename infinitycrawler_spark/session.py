@@ -19,19 +19,36 @@ def get_spark(app_name: str = "infinitycrawler-spark",
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cpus)
+    # Pin BLAS/OpenMP to one thread per python worker: N workers ×
+    # ncore-wide BLAS pools oversubscribe the box catastrophically
+    # (measured: 150s → 91s on the crawl bench at local[32]).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    # NOTE (measured, round-loop crawl at local[32]): raising
+    # autoBroadcastJoinThreshold to 64MB and pinning default.parallelism
+    # each cost ~20% wall time on the iterative round loop — many small
+    # broadcasts of state tables beat shuffles only on paper. Keep Spark
+    # defaults; AQE (on by default in 4.x) handles coalescing/skew.
+    # shuffle spill on tmpfs: /tmp sits on a virtio disk here, which
+    # serializes shuffle I/O; /dev/shm is a 126 GB tmpfs
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
