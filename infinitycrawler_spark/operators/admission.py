@@ -109,6 +109,7 @@ def admit(
     per_host_robots: bool = False,
     exact_order: bool = True,
     lazy_counts: bool = False,
+    bloom_bits: bytes | None = None,
 ) -> AdmissionOutput:
     """candidates: CANDIDATES schema rows for one round, where
     ``moved_chain`` is set for redirect candidates. ``states`` must be
@@ -128,10 +129,32 @@ def admit(
     if settings.max_depth > 0:
         cands = cands.filter(F.col("depth") <= settings.max_depth)
 
-    # 2. AddLink seen gate + within-round first occurrence (links only)
+    # 2. AddLink seen gate + within-round first occurrence (links only).
+    # With a Bloom filter over the seen keys, filter-negative candidates
+    # are definitely new and skip the anti-join entirely; only
+    # filter-positive ones (a small fraction at 10^10 scale) pay the
+    # shuffle. Exactness still comes from the anti-join.
     links = cands.filter(F.col("kind") == "link")
     others = cands.filter(F.col("kind") != "link")
-    links = links.join(seen.select("url"), "url", "left_anti")
+    if bloom_bits is not None:
+        bc = spark.sparkContext.broadcast(bloom_bits)
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(keys: pd.Series) -> pd.Series:
+            from infinitycrawler_spark.state.bloom import BloomFilter
+            bloom = BloomFilter.from_bytes(bc.value)
+            return pd.Series(
+                bloom.contains_many(keys.to_numpy(dtype="int64")),
+                index=keys.index)
+
+        links = links.withColumn(
+            "_maybe", maybe_seen(F.xxhash64("url")))
+        fresh = links.filter(~F.col("_maybe")).drop("_maybe")
+        suspect = (links.filter(F.col("_maybe")).drop("_maybe")
+                   .join(seen.select("url"), "url", "left_anti"))
+        links = fresh.unionByName(suspect)
+    else:
+        links = links.join(seen.select("url"), "url", "left_anti")
     w_first = Window.partitionBy("url").orderBy(*_order())
     links = (links.withColumn("_rn", F.row_number().over(w_first))
              .filter(F.col("_rn") == 1).drop("_rn"))

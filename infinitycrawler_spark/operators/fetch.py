@@ -32,21 +32,48 @@ def fetch_round(
     pages_meta: DataFrame,
     host_state: DataFrame,
     options: RequestProcessorOptions,
+    skew_salt_threshold: int = 0,
+    skew_salt_factor: int = 4,
 ) -> DataFrame:
     """due: frontier rows (url, host, enqueue_seq, depth). Returns the
     ATTEMPT table: one row per request plus one ``is_state`` trailer row
-    per host carrying updated scheduler state."""
+    per host carrying updated scheduler state.
+
+    Skew salting (SURVEY.md §4.1): hosts with more due rows than
+    ``skew_salt_threshold`` are split into ``skew_salt_factor`` salted
+    shards processed in parallel; each shard fetches only on its slot of
+    an interleaved time lattice (stride = factor), so the merged
+    schedule still honors per-host politeness spacing globally."""
+    hot_hosts: set[str] = set()
+    if skew_salt_threshold > 0 and skew_salt_factor > 1:
+        hot = (due.groupBy("host").count()
+               .filter(F.col("count") > skew_salt_threshold).collect())
+        hot_hosts = {r.host for r in hot}
+
+    due_sel = due.select("url", "host", "enqueue_seq", "depth")
+    if hot_hosts:
+        due_sel = due_sel.withColumn(
+            "salt",
+            F.when(F.col("host").isin(list(hot_hosts)),
+                   F.pmod(F.xxhash64("url"), F.lit(skew_salt_factor)).cast("int"))
+            .otherwise(F.lit(0)))
+    else:
+        due_sel = due_sel.withColumn("salt", F.lit(0))
+
     joined = (
-        due.select("url", "host", "enqueue_seq", "depth")
+        due_sel
         .join(pages_meta.select(*schemas.PAGES_META_COLS), "url", "left")
         .join(host_state, "host", "left")
     )
 
     opts = options  # closure-captured; plain dataclass → picklable
+    factor = skew_salt_factor
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("enqueue_seq").reset_index(drop=True)
         host = pdf["host"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        stride = factor if host in hot_hosts else 1
         state = HostSchedulerState(
             current_backoff_ms=int(pdf["backoff_ms"].iloc[0]) if pd.notna(pdf["backoff_ms"].iloc[0]) else 0,
             successes_since_throttle=int(pdf["successes"].iloc[0]) if pd.notna(pdf["successes"].iloc[0]) else 0,
@@ -62,7 +89,9 @@ def fetch_round(
             for row in pdf.itertuples()
         ]
         initial_count = state.request_count
-        records, state = run_schedule(items, opts, state=state)
+        records, state = run_schedule(items, opts, state=state,
+                                      time_slot_stride=stride,
+                                      time_slot_offset=salt)
         rows = []
         for rec in records:
             # launch_seq is positional → robust to duplicate frontier urls
@@ -101,14 +130,21 @@ def fetch_round(
         out["request_count"] = out["request_count"].astype("Int64")
         return out
 
-    return joined.groupBy("host").applyInPandas(fetch_group, schema=schemas.ATTEMPT)
+    return joined.groupBy("host", "salt").applyInPandas(
+        fetch_group, schema=schemas.ATTEMPT)
 
 
 def split_attempts(attempts: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """→ (attempt_rows, new_host_state)."""
+    """→ (attempt_rows, new_host_state). Salted shards of one host each
+    emit a state trailer; merge conservatively (max backoff, summed
+    request counts, latest clock)."""
     attempts = attempts.cache()
     attempt_rows = attempts.filter(~F.col("is_state")).drop(
         "is_state", "backoff_ms", "successes", "request_count", "clock_ms")
-    new_state = attempts.filter(F.col("is_state")).select(
-        "host", "backoff_ms", "successes", "request_count", "clock_ms")
+    new_state = (attempts.filter(F.col("is_state"))
+                 .groupBy("host")
+                 .agg(F.max("backoff_ms").alias("backoff_ms"),
+                      F.min("successes").alias("successes"),
+                      F.sum("request_count").alias("request_count"),
+                      F.max("clock_ms").alias("clock_ms")))
     return attempt_rows, new_state

@@ -69,6 +69,8 @@ class CrawlJob:
     collect_enqueue_log: bool = True
     snapshot_every: int = 3               # parquet-commit cadence (rounds)
     eager_checkpoint: bool = True         # materialize round state eagerly
+    use_bloom: bool = True                # Bloom pre-filter for the seen set
+    bloom_capacity: int = 2_000_000
 
     def __post_init__(self):
         if self.store_root is None:
@@ -79,6 +81,21 @@ class CrawlJob:
         self._deferred_unpersist: list[DataFrame] = []
         self._next_frontier_count: int | None = None
         self._n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self._bloom = None
+
+    def _bloom_update(self, seen_add: DataFrame) -> None:
+        """Fold this round's new seen keys into the driver Bloom. The
+        per-round key collection is Arrow-batched; at true 10^10 scale
+        this becomes per-host-bucket Bloom blobs maintained inside the
+        seen snapshot (the filter object already supports merge())."""
+        if not self.use_bloom:
+            return
+        from infinitycrawler_spark.state.bloom import BloomFilter
+
+        if self._bloom is None:
+            self._bloom = BloomFilter(self.bloom_capacity)
+        keys = seen_add.select("url_key").toPandas()["url_key"].to_numpy("int64")
+        self._bloom.add_many(keys)
 
     # ------------------------------------------------------------ setup
     def _empty(self, schema) -> DataFrame:
@@ -146,6 +163,13 @@ class CrawlJob:
             seen = self.store.read_table(spark, v, "seen")
             states = self.store.read_table(spark, v, "states")
             host_state = self.store.read_table(spark, v, "host_state")
+            if self.use_bloom:
+                from infinitycrawler_spark.state.bloom import BloomFilter
+                blob = self.store.read_blob(v, "seen_bloom")
+                if blob is not None:
+                    self._bloom = BloomFilter.from_bytes(blob)
+                else:
+                    self._bloom_update(seen)  # rebuild from the seen table
             meta = manifest["meta"]
             round_no = meta["round"] + 1
             seq_base = meta["seq_base"]
@@ -164,6 +188,7 @@ class CrawlJob:
                         exact_order=self.exact_order)
             frontier = adm.frontier_add
             seen = adm.seen_add
+            self._bloom_update(seen)
             seq_base = adm.n_enqueued
             results0 = adm.results.cache()
             n_res0 = results0.count()
@@ -211,7 +236,12 @@ class CrawlJob:
                 due, carried = frontier, self._empty(schemas.FRONTIER)
                 carried_count = 0
 
-            attempts = fetch_round(due, pages_meta, host_state, opts)
+            attempts = fetch_round(
+                due, pages_meta, host_state, opts,
+                # salting reorders within a host → scale mode only
+                skew_salt_threshold=(0 if self.exact_order
+                                     else settings.skew_salt_threshold),
+                skew_salt_factor=settings.skew_salt_factor)
             attempt_rows, host_state_new = split_attempts(attempts)
             attempt_rows = attempt_rows.cache()
 
@@ -356,7 +386,10 @@ class CrawlJob:
                         seq_base=seq_base, round_no=round_no,
                         per_host_robots=self.per_host_robots,
                         exact_order=self.exact_order,
-                        lazy_counts=not precise)
+                        lazy_counts=not precise,
+                        bloom_bits=(self._bloom.to_bytes()
+                                    if self.use_bloom and self._bloom else None))
+            self._bloom_update(adm.seen_add)
 
             adm_results = adm.results
             if precise:
@@ -464,6 +497,8 @@ class CrawlJob:
             meta={"round": round_no, "seq_base": seq_base,
                   "results_total": results_total,
                   "enqueue_log": enqueue_log if self.collect_enqueue_log else []},
+            blobs=({"seen_bloom": self._bloom.to_bytes()}
+                   if self._bloom is not None else None),
         )
 
     def _reload(self):

@@ -54,7 +54,8 @@ class SnapshotStore:
     # ---------------------------------------------------------- commit
     def commit(self, version: int, tables: dict[str, DataFrame],
                deltas: dict[str, DataFrame] | None = None,
-               meta: dict | None = None) -> dict:
+               meta: dict | None = None,
+               blobs: dict[str, bytes] | None = None) -> dict:
         """Write full-state ``tables`` and append-only ``deltas`` for this
         version; manifest lands last (atomic rename)."""
         vdir = self._vdir(version)
@@ -74,11 +75,17 @@ class SnapshotStore:
             path = os.path.join(tmp, f"{name}_delta.parquet")
             df.write.mode("overwrite").parquet(path)
             delta_paths[name] = f"{name}_delta.parquet"
+        blob_paths = {}
+        for name, data in (blobs or {}).items():
+            with open(os.path.join(tmp, f"{name}.bin"), "wb") as f:
+                f.write(data)
+            blob_paths[name] = f"{name}.bin"
         manifest = {
             "version": version,
             "committed_at": time.time(),
             "tables": table_paths,
             "deltas": delta_paths,
+            "blobs": blob_paths,
             "meta": meta or {},
         }
         with open(os.path.join(tmp, "manifest.json.tmp"), "w") as f:
@@ -91,6 +98,13 @@ class SnapshotStore:
     # ------------------------------------------------------------ read
     def read_table(self, spark: SparkSession, version: int, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._vdir(version), f"{name}.parquet"))
+
+    def read_blob(self, version: int, name: str) -> bytes | None:
+        path = os.path.join(self._vdir(version), f"{name}.bin")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
 
     def read_deltas(self, spark: SparkSession, upto_version: int, name: str) -> DataFrame | None:
         paths = []
