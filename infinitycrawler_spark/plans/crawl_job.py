@@ -53,6 +53,7 @@ class CrawlOutput:
     rounds: int
     elapsed_s: float
     store_root: str
+    lineage: DataFrame | None = None
 
 
 @dataclass
@@ -71,6 +72,13 @@ class CrawlJob:
     eager_checkpoint: bool = True         # materialize round state eagerly
     use_bloom: bool = True                # Bloom pre-filter for the seen set
     bloom_capacity: int = 2_000_000
+    #: hash-partition pages by url once so the per-round fetch/parse
+    #: joins never re-shuffle the payload bytes (pages side satisfies
+    #: the join's HashPartitioning requirement; only the small attempt
+    #: side exchanges)
+    copartition_pages: bool = True
+    #: per-host lineage deltas (round, host, fetched, links, enqueued)
+    collect_lineage: bool = True
 
     def __post_init__(self):
         if self.store_root is None:
@@ -78,10 +86,13 @@ class CrawlJob:
         self.store = SnapshotStore(self.store_root)
         self.base_host = host_of(self.seed_uri)
         self._pending_deltas: list[DataFrame] = []
+        self._pending_lineage: list[DataFrame] = []
         self._deferred_unpersist: list[DataFrame] = []
         self._next_frontier_count: int | None = None
         self._n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         self._bloom = None
+        if self.copartition_pages:
+            self.pages = self.pages.repartition(self._n_parts, "url").persist()
 
     def _bloom_update(self, seen_add: DataFrame) -> None:
         """Fold this round's new seen keys into the driver Bloom. The
@@ -416,6 +427,21 @@ class CrawlJob:
             host_state = host_state.coalesce(np_).localCheckpoint(eager=eager)
             delta = (round_results.unionByName(adm_results)
                      .coalesce(np_).localCheckpoint(eager=eager))
+            if self.collect_lineage:
+                lin = (attempt_rows.groupBy("host")
+                       .agg(F.count("*").alias("fetched"))
+                       .join(parsed.groupBy("host")
+                             .agg(F.sum(F.size("links")).alias("links_emitted")),
+                             "host", "full")
+                       .join(adm.frontier_add.groupBy("host")
+                             .agg(F.count("*").alias("enqueued")),
+                             "host", "full")
+                       .select(F.lit(round_no).alias("round"), "host",
+                               F.coalesce("fetched", F.lit(0)).alias("fetched"),
+                               F.coalesce("links_emitted", F.lit(0)).alias("links_emitted"),
+                               F.coalesce("enqueued", F.lit(0)).alias("enqueued"))
+                       .coalesce(1).localCheckpoint(eager=False))
+                self._pending_lineage.append(lin)
 
             # one pass for every per-attempt metric
             n_fetched, wait_ms, n_err, n_retry = attempt_rows.agg(
@@ -453,7 +479,8 @@ class CrawlJob:
                 self._pending_deltas = []
                 self._commit(round_no, frontier_next, seen_next, states2,
                              host_state, delta, round_no, seq_base,
-                             results_total, enqueue_log)
+                             results_total, enqueue_log,
+                             lineage_delta=self._flush_lineage())
                 self._deferred_unpersist.extend(
                     [frontier_next, seen_next, states2, host_state, delta])
                 frontier, seen, states, host_state = self._reload()
@@ -475,25 +502,39 @@ class CrawlJob:
             self._pending_deltas = []
             self._commit(round_no - 1, frontier, seen, states, host_state,
                          delta, round_no - 1, seq_base, results_total,
-                         enqueue_log)
+                         enqueue_log, lineage_delta=self._flush_lineage())
         last_v = self.store.versions()[-1]
         results = (self.store.read_deltas(spark, last_v, "results")
                    or self._empty(schemas.RESULTS))
+        lineage = self.store.read_deltas(spark, last_v, "lineage")
         return CrawlOutput(
             results=results, seen=seen, metrics=metrics,
             enqueue_log=enqueue_log, rounds=round_no,
-            elapsed_s=time.time() - t0, store_root=self.store_root)
+            elapsed_s=time.time() - t0, store_root=self.store_root,
+            lineage=lineage)
+
+    def _flush_lineage(self) -> DataFrame | None:
+        if not self._pending_lineage:
+            return None
+        out = self._pending_lineage[0]
+        for d in self._pending_lineage[1:]:
+            out = out.unionByName(d)
+        self._pending_lineage = []
+        return out
 
     # ------------------------------------------------------- snapshots
     def _commit(self, version_round, frontier, seen, states, host_state,
                 results_delta, round_no, seq_base, results_total,
-                enqueue_log, initial=False):
+                enqueue_log, initial=False, lineage_delta=None):
         version = version_round + 1  # v0 = initial state before round 0
+        deltas = {"results": results_delta}
+        if lineage_delta is not None:
+            deltas["lineage"] = lineage_delta
         self.store.commit(
             version,
             tables={"frontier": frontier, "seen": seen, "states": states,
                     "host_state": host_state},
-            deltas={"results": results_delta},
+            deltas=deltas,
             meta={"round": round_no, "seq_base": seq_base,
                   "results_total": results_total,
                   "enqueue_log": enqueue_log if self.collect_enqueue_log else []},

@@ -163,6 +163,15 @@ SITEMAP_SEEDS = StructType([
     StructField("url", StringType(), False),
 ])
 
+#: per-partition lineage (north rule): host shard → fetched → emitted
+LINEAGE = StructType([
+    StructField("round", IntegerType(), False),
+    StructField("host", StringType(), False),
+    StructField("fetched", LongType(), False),
+    StructField("links_emitted", LongType(), False),
+    StructField("enqueued", LongType(), False),
+])
+
 METRICS = StructType([
     StructField("round", IntegerType(), False),
     StructField("frontier_size", LongType(), False),
