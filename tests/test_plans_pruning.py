@@ -1,0 +1,53 @@
+"""Physical-plan invariants: the frontier/fetch path must never read
+the payload from parquet (column pruning down to PAGES_META_COLS), and
+predicate pushdown must reach the scan. This is the load-bearing
+optimization at 100 TB — `bytes` is ~95% of the table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from infinitycrawler_spark import schemas
+from infinitycrawler_spark.operators.fetch import fetch_round
+from infinitycrawler_spark.settings import RequestProcessorOptions
+from infinitycrawler_spark.sources.web import write_fixture_parquet
+from infinitycrawler_spark.synth.fixtures import basic_site
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("webpq")
+    paths = write_fixture_parquet(spark, basic_site(), str(out))
+    return spark.read.parquet(paths["crawl_pages"])
+
+
+def test_fetch_scan_prunes_payload_columns(spark, pages_parquet):
+    frontier = spark.createDataFrame(
+        [("http://localhost/", "localhost", 1, 1, 0, 0)],
+        schema="url string, host string, url_key long, enqueue_seq long, "
+               "depth int, round_enqueued int")
+    host_state = spark.createDataFrame([], schema=schemas.HOST_STATE)
+    attempts = fetch_round(frontier, pages_parquet, host_state,
+                           RequestProcessorOptions().no_delay())
+    plan = attempts._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read_schemas, "no parquet scan in the fetch plan"
+    for line in read_schemas:
+        assert "bytes" not in line, f"payload column read on fetch path: {line}"
+        assert "caption" not in line
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_parquet):
+    q = pages_parquet.filter(F.col("host") == "localhost").select("url", "status_code")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "host" in pushed and "IsNotNull" in pushed or "EqualTo" in pushed
+
+
+def test_meta_projection_reads_four_columns(spark, pages_parquet):
+    q = pages_parquet.select(*schemas.PAGES_META_COLS)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in schemas.PAGES_META_COLS:
+        assert col in line
+    assert "bytes" not in line and "links" not in line
