@@ -81,6 +81,9 @@ class CrawlJob:
     collect_lineage: bool = True
 
     def __post_init__(self):
+        from infinitycrawler_spark.session import ship_package
+
+        ship_package(self.spark)  # executors must import this package
         if self.store_root is None:
             self.store_root = tempfile.mkdtemp(prefix="crawl_state_")
         self.store = SnapshotStore(self.store_root)
