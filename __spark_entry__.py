@@ -221,7 +221,8 @@ def q_dedup_simhash(spark, sf):
 
 def q_dedup_ngram_jaccard(spark, sf):
     from infinitycrawler_spark.operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), shingle_n=3, threshold=0.8)
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), shingle_n=3,
+                               threshold=0.8, max_shingle_df=100)
 
 
 def q_dedup_embedding_cosine(spark, sf):
@@ -665,9 +666,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": """
             WITH words AS (
                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-            sh AS (
+            sh_all AS (
                 SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
                 FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) t(i)),
+            sh AS (
+                SELECT doc_id, sh FROM sh_all
+                WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh
+                             HAVING count(*) <= 100)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -686,13 +691,25 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT vec_id + 1000000, label, embedding FROM embeddings
                 WHERE vec_id % 20 = 0),
-            e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM base),
+            e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                       CAST((CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END)
+                          + (CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END)
+                          + (CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END)
+                          + (CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END)
+                          + (CASE WHEN embedding[9] > embedding[10] THEN 16 ELSE 0 END)
+                          + (CASE WHEN embedding[11] > embedding[12] THEN 32 ELSE 0 END)
+                          + (CASE WHEN embedding[13] > embedding[14] THEN 64 ELSE 0 END)
+                          + (CASE WHEN embedding[15] > embedding[16] THEN 128 ELSE 0 END)
+                          AS INT) AS bucket
+                FROM base),
             pairs AS (
                 SELECT a.label,
                        round(list_dot_product(a.v, b.v)
                              / (sqrt(list_dot_product(a.v, a.v))
                                 * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.label = b.label
+                                 AND a.vec_id < b.vec_id)
             SELECT label, CAST(count(*) AS BIGINT) AS n_pairs
             FROM pairs WHERE cos >= 0.95 GROUP BY label ORDER BY label
         """,

@@ -109,11 +109,25 @@ def simhash_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle →
-    (doc_a, doc_b, jaccard). Shingle self-join bounded by distinct
-    shingles; boilerplate-heavy corpora need a frequency cap upstream."""
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """n-gram Jaccard over candidate pairs sharing ≥1 shingle →
+    (doc_a, doc_b, jaccard).
+
+    ``max_shingle_df`` is the 100 TB guard: shingles present in more
+    than that many documents (boilerplate headers/footers) are dropped
+    from every doc's shingle set *before* the self-join, so one hot
+    shingle can never make candidate generation quadratic. Jaccard is
+    then exact over the capped shingle sets (sizes and intersections
+    both use the capped sets — self-consistent and SQL-expressible).
+    None disables the cap (exact Jaccard over all shingles)."""
     sh = word_shingles(docs, shingle_n)
+    if max_shingle_df is not None:
+        df_ok = (sh.groupBy("sh")
+                 .agg(F.count("*").alias("df"))
+                 .filter(F.col("df") <= max_shingle_df)
+                 .select("sh"))
+        sh = sh.join(df_ok, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -131,20 +145,28 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
             .select("doc_a", "doc_b", "jaccard"))
 
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Near-duplicate embedding pairs by cosine ≥ threshold, restricted
-    to same ``label`` to bound the pair space (the production path
-    replaces the label block with LSH buckets, similarity.py) →
-    (label, n_pairs)."""
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 8) -> DataFrame:
+    """Near-duplicate same-label embedding pairs by cosine ≥ threshold,
+    *blocked by LSH bucket* (similarity.lsh_bucket) so a hot label can
+    never make candidate generation all-pairs: only vectors sharing a
+    bucket (near-identical vectors always do — every hyperplane bit
+    agrees) are scored. The self-join key is (bucket, label); hot
+    buckets are handled by AQE skew-join → (label, n_pairs)."""
+    from infinitycrawler_spark.operators.similarity import lsh_bucket
+
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    e = e.withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb"))
-    pairs = (a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    a = e.select(F.col("vec_id").alias("id_a"), "label", "bucket",
+                 F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", "bucket",
+                 F.col("v").alias("vb"))
+    pairs = (a.join(b, ["bucket", "label"]).filter(F.col("id_a") < F.col("id_b"))
              .withColumn("cos", F.round(dot / (norm("va") * norm("vb")), 4))
              .filter(F.col("cos") >= threshold))
     return (pairs.groupBy("label")

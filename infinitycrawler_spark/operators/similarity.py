@@ -24,6 +24,17 @@ def _norm(c):
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic distributed top-k: orderBy+limit plans as
+    TakeOrderedAndProject (per-partition top-k, driver merge) instead of
+    a single-partition global window over the whole scored relation;
+    rank is attached by a window over the k-row result only."""
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("vec_id", "cos", "rank"))
+
+
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Exact top-k neighbors of one stored vector → (vec_id, cos, rank)."""
     e = embeddings.select(
@@ -35,10 +46,7 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
               .select("vec_id",
                       F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
                       .alias("cos")))
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("vec_id", "cos", "rank"))
+    return _rank_topk(scored, k)
 
 
 def lsh_bucket(col, n_planes: int = 8):
@@ -80,7 +88,4 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
               .select("vec_id",
                       F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
                       .alias("cos")))
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("vec_id", "cos", "rank"))
+    return _rank_topk(scored, k)
