@@ -504,7 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         # crawl
         "crawl_frontier_expand": q_crawl_frontier_expand,
-        "crawl_fixpoint": crawl_fixpoint,  # iterative → rows-only check
+        # iterative engine loop; oracle = closed-form 3-level BFS CTE
+        "crawl_fixpoint": crawl_fixpoint,
     }
 
 
@@ -862,5 +863,60 @@ def oracle_sql() -> dict[str, str]:
                        CAST(l_partkey AS BIGINT) AS partkey
                 FROM lineitem WHERE l_orderkey <= {N_SEED_ORDERS}) t
         """,
-        # crawl_fixpoint: iterative engine loop — intentionally no oracle
+        # The flagship. The derived web (build_web_from_tpch) is a
+        # 3-level DAG (seed orders → parts → suppliers), so the no-delay
+        # BFS fixpoint closes in 3 expansions and is exactly expressible
+        # with plain CTEs replicating the engine's admission semantics:
+        # robots (Disallow /order/9 via the base host's file applied to
+        # every host), status routing (404→Crawled terminal, 500→retry
+        # ×2→MaxRetries), meta-nofollow link suppression, the
+        # authority-root seed (absent from the web → transport error →
+        # MaxRetries), and seen-set dedup (DISTINCT).
+        "crawl_fixpoint": f"""
+            WITH op AS (
+                SELECT o_orderkey AS k,
+                       printf('nation%02d.shop', c_nationkey) AS host,
+                       CASE WHEN o_orderkey % 37 = 0 THEN 404
+                            WHEN o_orderkey % 41 = 0 THEN 500
+                            ELSE 200 END AS status_code,
+                       (o_orderkey % 53 = 0) AS nofollow
+                FROM orders JOIN customer ON o_custkey = c_custkey),
+            seeds AS (SELECT * FROM op WHERE k <= {N_SEED_ORDERS}),
+            blocked AS (
+                SELECT host, 'RobotsBlocked' AS status, count(*) AS n
+                FROM seeds WHERE CAST(k AS VARCHAR) LIKE '9%'
+                GROUP BY host),
+            fetched AS (
+                SELECT * FROM seeds WHERE CAST(k AS VARCHAR) NOT LIKE '9%'),
+            seed_results AS (
+                SELECT host,
+                       CASE WHEN status_code = 500 THEN 'MaxRetries'
+                            ELSE 'Crawled' END AS status,
+                       count(*) AS n
+                FROM fetched GROUP BY 1, 2),
+            root_result AS (
+                SELECT 'nation00.shop' AS host, 'MaxRetries' AS status,
+                       1 AS n),
+            parts AS (
+                SELECT DISTINCT l_partkey AS pk
+                FROM lineitem JOIN fetched ON l_orderkey = k
+                WHERE status_code = 200 AND NOT nofollow),
+            part_results AS (
+                SELECT 'parts.shop' AS host, 'Crawled' AS status,
+                       count(*) AS n FROM parts),
+            supp AS (
+                SELECT DISTINCT l_suppkey AS sk FROM lineitem
+                WHERE l_partkey IN (SELECT pk FROM parts)),
+            supp_results AS (
+                SELECT 'suppliers.shop' AS host, 'Crawled' AS status,
+                       count(*) AS n FROM supp),
+            all_rows AS (
+                SELECT * FROM blocked
+                UNION ALL SELECT * FROM seed_results
+                UNION ALL SELECT * FROM root_result
+                UNION ALL SELECT * FROM part_results
+                UNION ALL SELECT * FROM supp_results)
+            SELECT host, status, CAST(sum(n) AS BIGINT) AS n
+            FROM all_rows GROUP BY host, status ORDER BY host, status
+        """,
     }

@@ -36,11 +36,13 @@ def run_crawl_bench(spark, sf_dir: str, max_seed_orderkey: int = 50_000):
 
     pages, _, hosts = build_web_from_tpch(spark, sf_dir)
     pages = pages.persist()
-    seeds = [r.url for r in pages
-             .filter(F.col("url").like("%/order/%"))
+    # seeds stay a DataFrame end-to-end (never collected to the driver —
+    # at 10^7+ seeds a Python list would serialize through the driver)
+    seeds = (pages.filter(F.col("url").like("%/order/%"))
              .filter(F.split(F.col("url"), "/order/").getItem(1).cast("long")
                      <= max_seed_orderkey)
-             .select("url").collect()]
+             .select("url"))
+    n_seeds = seeds.count()
     settings = CrawlSettings(
         host_aliases=hosts, number_of_retries=2, validate_payload=False,
         request_processor_options=RequestProcessorOptions().no_delay())
@@ -63,7 +65,7 @@ def run_crawl_bench(spark, sf_dir: str, max_seed_orderkey: int = 50_000):
         "urls_fetched": int(fetched),
         "urls_per_s": round(fetched / wall, 1),
         "results": out.results.count(),
-        "seeds": len(seeds),
+        "seeds": n_seeds,
     }
 
 

@@ -79,10 +79,46 @@ def is_well_formed_href(href: str) -> bool:
     return True
 
 
+def normalize_http_uri(url: str | None) -> str | None:
+    """Mirror .NET ``Uri`` normalization on an absolute http(s) URI:
+    lowercase scheme and host, drop the default port, empty path → '/',
+    KEEP query and fragment (unlike ``canonicalize``). Non-http(s)
+    schemes pass through unchanged (they are dropped later at the
+    scheme filter, DefaultContentProcessor.cs:101-105)."""
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return url
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    if parts.username:
+        userinfo = parts.username
+        if parts.password:
+            userinfo += f":{parts.password}"
+        netloc = f"{userinfo}@{netloc}"
+    path = parts.path or "/"
+    return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
+
+
 def resolve_href(page_url: str, href: str | None, base_href: str | None = None) -> str | None:
     """UriExtensions.cs:9-33 — split fragment, validate, resolve against
     <base href> (itself resolved against the page) then the page URL,
-    re-attach the fragment. None for malformed input."""
+    re-attach the fragment; the result is .NET-Uri-normalized (lowercase
+    host, default port dropped) so it joins/dedups against canonical
+    URLs. None for malformed input."""
     if href is None:
         return None
     pieces = href.split("#", 1)
@@ -104,7 +140,23 @@ def resolve_href(page_url: str, href: str | None, base_href: str | None = None) 
         return None
     if fragment is not None:
         resolved = strip_fragment(resolved) + "#" + fragment
-    return resolved
+    return normalize_http_uri(resolved)
+
+
+def path_and_query(url: str | None) -> str:
+    """.NET ``Uri.PathAndQuery`` — the robots rules match against this
+    (never against a string-split of the URL, which breaks on ports and
+    host-case mismatches)."""
+    if not url:
+        return "/"
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return "/"
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    return path
 
 
 def scheme_of(url: str | None) -> str | None:

@@ -24,6 +24,7 @@ from infinitycrawler_spark.functions.robots import (
 from infinitycrawler_spark.functions.urls import (
     canonicalize,
     host_of,
+    path_and_query,
     resolve_href,
     scheme_of,
     strip_fragment,
@@ -109,11 +110,11 @@ def crawl(fixture: WebFixture, settings: CrawlSettings | None = None,
             if len(state.requests) == settings.number_of_retries:
                 add_result(url, "MaxRetries", state)
                 return
-            if len(state.redirects) == settings.max_number_of_redirects:
+            # Redirects non-null check (CrawlRunner.cs:187) ⟺ chain non-empty
+            if state.redirects and len(state.redirects) == settings.max_number_of_redirects:
                 add_result(url, "MaxRedirects", state)
                 return
-        path = url.split(h, 1)[1] if h and h in url else url
-        if robots.is_allowed(path or "/", settings.user_agent):
+        if robots.is_allowed(path_and_query(url), settings.user_agent):
             queue.append(url)
             enqueue_order.append(url)
         else:

@@ -62,15 +62,15 @@ def _robots_allowed_udf(robots_map: dict[str, RobotsFile], base_host: str,
 
     @F.pandas_udf(BooleanType())
     def allowed(hosts: pd.Series, urls: pd.Series) -> pd.Series:
+        from infinitycrawler_spark.functions.urls import path_and_query
+
         out = []
         for host, url in zip(hosts, urls):
             robots = robots_map.get(host if per_host_robots else base_host)
             if robots is None:
                 out.append(True)
                 continue
-            rest = url.split(host, 1)[1] if host in url else "/"
-            path = rest if rest.startswith("/") else "/" + rest
-            out.append(robots.is_allowed(path, user_agent))
+            out.append(robots.is_allowed(path_and_query(url), user_agent))
         return pd.Series(out, dtype="bool")
 
     return allowed
@@ -109,7 +109,7 @@ def admit(
     per_host_robots: bool = False,
     exact_order: bool = True,
     lazy_counts: bool = False,
-    bloom_bits: bytes | None = None,
+    bloom_store=None,
 ) -> AdmissionOutput:
     """candidates: CANDIDATES schema rows for one round, where
     ``moved_chain`` is set for redirect candidates. ``states`` must be
@@ -136,19 +136,9 @@ def admit(
     # shuffle. Exactness still comes from the anti-join.
     links = cands.filter(F.col("kind") == "link")
     others = cands.filter(F.col("kind") != "link")
-    if bloom_bits is not None:
-        bc = spark.sparkContext.broadcast(bloom_bits)
-
-        @F.pandas_udf(BooleanType())
-        def maybe_seen(keys: pd.Series) -> pd.Series:
-            from infinitycrawler_spark.state.bloom import BloomFilter
-            bloom = BloomFilter.from_bytes(bc.value)
-            return pd.Series(
-                bloom.contains_many(keys.to_numpy(dtype="int64")),
-                index=keys.index)
-
+    if bloom_store is not None:
         links = links.withColumn(
-            "_maybe", maybe_seen(F.xxhash64("url")))
+            "_maybe", bloom_store.maybe_seen_udf()(F.xxhash64("url")))
         fresh = links.filter(~F.col("_maybe")).drop("_maybe")
         suspect = (links.filter(F.col("_maybe")).drop("_maybe")
                    .join(seen.select("url"), "url", "left_anti"))
@@ -217,7 +207,11 @@ def admit(
         F.when(F.col("has_state") & F.col("eff_success"), F.lit("drop"))
         .when(F.col("has_state") & (F.col("eff_attempts") == n_retries),
               F.lit("max_retries"))
-        .when(F.col("has_state") & (F.size("eff_chain") == max_redirects),
+        # reference fires this only when crawlState.Redirects is non-null
+        # (CrawlRunner.cs:187) — non-null ⟺ at least one redirect, so the
+        # size>0 guard keeps max_number_of_redirects=0 from eating retries
+        .when(F.col("has_state") & (F.size("eff_chain") > 0)
+              & (F.size("eff_chain") == max_redirects),
               F.lit("max_redirects"))
         .otherwise(F.lit("gate")),
     )

@@ -34,6 +34,7 @@ def fetch_round(
     options: RequestProcessorOptions,
     skew_salt_threshold: int = 0,
     skew_salt_factor: int = 4,
+    hot_hosts: set[str] | None = None,
 ) -> DataFrame:
     """due: frontier rows (url, host, enqueue_seq, depth). Returns the
     ATTEMPT table: one row per request plus one ``is_state`` trailer row
@@ -43,12 +44,18 @@ def fetch_round(
     ``skew_salt_threshold`` are split into ``skew_salt_factor`` salted
     shards processed in parallel; each shard fetches only on its slot of
     an interleaved time lattice (stride = factor), so the merged
-    schedule still honors per-host politeness spacing globally."""
-    hot_hosts: set[str] = set()
-    if skew_salt_threshold > 0 and skew_salt_factor > 1:
-        hot = (due.groupBy("host").count()
-               .filter(F.col("count") > skew_salt_threshold).collect())
-        hot_hosts = {r.host for r in hot}
+    schedule still honors per-host politeness spacing globally.
+    ``hot_hosts`` supplies the hot set precomputed from the previous
+    round's frontier stats (avoids a per-round count+collect here);
+    None → detect with a count (standalone use)."""
+    if hot_hosts is None:
+        hot_hosts = set()
+        if skew_salt_threshold > 0 and skew_salt_factor > 1:
+            hot = (due.groupBy("host").count()
+                   .filter(F.col("count") > skew_salt_threshold).collect())
+            hot_hosts = {r.host for r in hot}
+    elif skew_salt_threshold <= 0 or skew_salt_factor <= 1:
+        hot_hosts = set()
 
     due_sel = due.select("url", "host", "enqueue_seq", "depth")
     if hot_hosts:
@@ -119,7 +126,10 @@ def fetch_round(
             "is_state": True,
             "backoff_ms": state.current_backoff_ms,
             "successes": state.successes_since_throttle,
-            "request_count": state.request_count,
+            # DELTA, not absolute: each salted shard of one host starts
+            # from the same persisted base; summing absolutes would count
+            # the base once per shard. split_attempts re-adds the base.
+            "request_count": state.request_count - initial_count,
             "clock_ms": state.clock_ms,
         })
         out = pd.DataFrame(rows)
@@ -134,10 +144,15 @@ def fetch_round(
         fetch_group, schema=schemas.ATTEMPT)
 
 
-def split_attempts(attempts: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_attempts(
+    attempts: DataFrame,
+    prev_host_state: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """→ (attempt_rows, new_host_state). Salted shards of one host each
-    emit a state trailer; merge conservatively (max backoff, summed
-    request counts, latest clock)."""
+    emit a state trailer carrying the per-shard request-count DELTA;
+    merge conservatively (max backoff, min success streak, base + summed
+    deltas, latest clock). ``prev_host_state`` supplies the persisted
+    request-count base (absent/empty → base 0)."""
     attempts = attempts.cache()
     attempt_rows = attempts.filter(~F.col("is_state")).drop(
         "is_state", "backoff_ms", "successes", "request_count", "clock_ms")
@@ -147,4 +162,12 @@ def split_attempts(attempts: DataFrame) -> tuple[DataFrame, DataFrame]:
                       F.min("successes").alias("successes"),
                       F.sum("request_count").alias("request_count"),
                       F.max("clock_ms").alias("clock_ms")))
+    if prev_host_state is not None:
+        base = prev_host_state.select(
+            "host", F.col("request_count").alias("_base"))
+        new_state = (new_state.join(base, "host", "left")
+                     .withColumn("request_count",
+                                 F.coalesce("_base", F.lit(0))
+                                 + F.col("request_count"))
+                     .drop("_base"))
     return attempt_rows, new_state

@@ -28,11 +28,22 @@ from infinitycrawler_spark.functions.robots import evaluate_page_robots
 from infinitycrawler_spark.functions.urls import resolve_href, scheme_of
 from infinitycrawler_spark.settings import CrawlSettings
 
+PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 CONTENT_COLS = [
     "url", "x_robots_tag", "robots_meta", "base_href", "canonical_href",
     "links", "content_type", "charset",
-    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    *PAYLOAD_COLS,
 ]
+
+
+def content_cols(validate_payload: bool) -> list[str]:
+    """Columns the parse pass needs. With payload validation off, the
+    image payload (≈95% of the table bytes) must never be read, cached,
+    or Arrow-serialized — mapInPandas sends every joined column to
+    Python, so pruning has to happen here, not in Catalyst."""
+    if validate_payload:
+        return CONTENT_COLS
+    return [c for c in CONTENT_COLS if c not in PAYLOAD_COLS]
 
 
 def parse_round(
@@ -44,7 +55,8 @@ def parse_round(
     joined = success_attempts.select(
         "url", "host", "enqueue_seq", "depth",
         success_attempts["status_code"].alias("last_status_code"),
-    ).join(pages_content.select(*CONTENT_COLS), "url", "left")
+    ).join(pages_content.select(*content_cols(settings.validate_payload)),
+           "url", "left")
 
     user_agent = settings.user_agent
     validate = settings.validate_payload
@@ -78,7 +90,7 @@ def parse_round(
                     links.append({"location": loc, "text": text,
                                   "title": title, "rel": rel})
                 image_ok = psnr = phash_match = caption_ok = None
-                if validate and row.image_id is not None:
+                if validate and getattr(row, "image_id", None) is not None:
                     path = url.split(row.host, 1)[1] if row.host in url else url
                     image_ok, psnr, phash_match, caption_ok = validate_payload(
                         row.image_id, row.bytes, int(row.w), int(row.h),

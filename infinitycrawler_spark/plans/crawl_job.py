@@ -71,7 +71,12 @@ class CrawlJob:
     snapshot_every: int = 3               # parquet-commit cadence (rounds)
     eager_checkpoint: bool = True         # materialize round state eagerly
     use_bloom: bool = True                # Bloom pre-filter for the seen set
+    #: per-BUCKET capacity of the sharded seen-Bloom (state/bloom_store);
+    #: total capacity = bloom_capacity × bloom_buckets. At a 10^10-URL
+    #: frontier raise bloom_buckets (blobs stay broadcast-free — they
+    #: live on the store filesystem and load per bucket on executors).
     bloom_capacity: int = 2_000_000
+    bloom_buckets: int = 32
     #: hash-partition pages by url once so the per-round fetch/parse
     #: joins never re-shuffle the payload bytes (pages side satisfies
     #: the join's HashPartitioning requirement; only the small attempt
@@ -81,7 +86,9 @@ class CrawlJob:
     collect_lineage: bool = True
 
     def __post_init__(self):
+        from infinitycrawler_spark.operators.parse import content_cols
         from infinitycrawler_spark.session import ship_package
+        from infinitycrawler_spark.state.bloom_store import BloomShardStore
 
         ship_package(self.spark)  # executors must import this package
         if self.store_root is None:
@@ -92,24 +99,62 @@ class CrawlJob:
         self._pending_lineage: list[DataFrame] = []
         self._deferred_unpersist: list[DataFrame] = []
         self._next_frontier_count: int | None = None
+        self._next_hot_hosts: set[str] | None = None
         self._n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        self._bloom = None
+        self._bloom_store = (
+            BloomShardStore(self.store_root, n_buckets=self.bloom_buckets,
+                            capacity_per_bucket=self.bloom_capacity)
+            if self.use_bloom else None)
         if self.copartition_pages:
-            self.pages = self.pages.repartition(self._n_parts, "url").persist()
+            # persist only the columns the engine reads: the payload
+            # (~95% of table bytes) is dropped when validation is off
+            needed = list(dict.fromkeys(
+                [*schemas.PAGES_META_COLS,
+                 *content_cols(self.settings.validate_payload)]))
+            self.pages = (self.pages.select(*needed)
+                          .repartition(self._n_parts, "url").persist())
 
-    def _bloom_update(self, seen_add: DataFrame) -> None:
-        """Fold this round's new seen keys into the driver Bloom. The
-        per-round key collection is Arrow-batched; at true 10^10 scale
-        this becomes per-host-bucket Bloom blobs maintained inside the
-        seen snapshot (the filter object already supports merge())."""
-        if not self.use_bloom:
-            return
-        from infinitycrawler_spark.state.bloom import BloomFilter
-
-        if self._bloom is None:
-            self._bloom = BloomFilter(self.bloom_capacity)
-        keys = seen_add.select("url_key").toPandas()["url_key"].to_numpy("int64")
-        self._bloom.add_many(keys)
+    def _round_stats(
+        self, attempt_rows: DataFrame, frontier_next: DataFrame,
+        hot_threshold: int,
+    ) -> tuple[int, float, int, int, int, int | None, set[str]]:
+        """ONE action for every remaining per-round statistic: attempt
+        metrics (fetched/wait/errors/retries) + frontier stats (count,
+        max enqueue_seq, next round's hot hosts). Runs AFTER the delta
+        action so every input is already cached — this is a cheap narrow
+        aggregation that also materializes the frontier checkpoint.
+        → (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot)."""
+        err_l = F.col("error").isNotNull()
+        r5 = (~err_l) & F.col("status_code").between(500, 599)
+        att = attempt_rows.select(
+            F.lit("a").alias("t"), F.lit(None).cast("string").alias("h"),
+            F.col("start_delay_ms").cast("double").alias("w"),
+            err_l.cast("long").alias("e"), (err_l | r5).cast("long").alias("r"),
+            F.lit(None).cast("long").alias("q"))
+        fr = frontier_next.select(
+            F.lit("f").alias("t"), F.col("host").alias("h"),
+            F.lit(None).cast("double").alias("w"),
+            F.lit(0).cast("long").alias("e"), F.lit(0).cast("long").alias("r"),
+            F.col("enqueue_seq").cast("long").alias("q"))
+        agg = (att.unionByName(fr).rollup("t", "h")
+               .agg(F.count("*").alias("n"), F.sum("w").alias("sw"),
+                    F.sum("e").alias("se"), F.sum("r").alias("sr"),
+                    F.max("q").alias("mq")))
+        hot_pred = (F.col("t") == "f") & (F.col("n") > F.lit(hot_threshold))
+        agg = agg.filter(F.col("t").isNotNull()
+                         & (F.col("h").isNull()
+                            | (hot_pred if hot_threshold > 0 else F.lit(False))))
+        n_fetched, wait_ms, n_err, n_retry = 0, 0.0, 0, 0
+        n_next, max_seq, hot = 0, None, set()
+        for row in agg.collect():
+            if row.h is not None:
+                hot.add(row.h)
+            elif row.t == "a":
+                n_fetched, wait_ms = int(row.n), float(row.sw or 0.0)
+                n_err, n_retry = int(row.se or 0), int(row.sr or 0)
+            elif row.t == "f":
+                n_next, max_seq = int(row.n), row.mq
+        return n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot
 
     # ------------------------------------------------------------ setup
     def _empty(self, schema) -> DataFrame:
@@ -165,6 +210,7 @@ class CrawlJob:
         spark = self.spark
         t0 = time.time()
         self._next_frontier_count = None
+        self._next_hot_hosts = None
         settings = self.settings
         opts = self._merged_options()
         pages_meta = self.pages.select(*schemas.PAGES_META_COLS)
@@ -178,12 +224,9 @@ class CrawlJob:
             states = self.store.read_table(spark, v, "states")
             host_state = self.store.read_table(spark, v, "host_state")
             if self.use_bloom:
-                from infinitycrawler_spark.state.bloom import BloomFilter
-                blob = self.store.read_blob(v, "seen_bloom")
-                if blob is not None:
-                    self._bloom = BloomFilter.from_bytes(blob)
-                else:
-                    self._bloom_update(seen)  # rebuild from the seen table
+                # blobs may lead the snapshot (safe: superset) but a
+                # rebuild restores the exact superset-of-seen invariant
+                self._bloom_store.rebuild(seen)
             meta = manifest["meta"]
             round_no = meta["round"] + 1
             seq_base = meta["seq_base"]
@@ -202,7 +245,8 @@ class CrawlJob:
                         exact_order=self.exact_order)
             frontier = adm.frontier_add
             seen = adm.seen_add
-            self._bloom_update(seen)
+            if self.use_bloom:
+                self._bloom_store.update(seen)
             seq_base = adm.n_enqueued
             results0 = adm.results.cache()
             n_res0 = results0.count()
@@ -230,11 +274,13 @@ class CrawlJob:
             frontier, seen, states, host_state = self._reload()
 
         # ---------------- fixpoint rounds ----------------
+        hot_thr = (0 if self.exact_order else settings.skew_salt_threshold)
         while True:
             if self._next_frontier_count is not None:
                 n_frontier = self._next_frontier_count
             else:
-                n_frontier = frontier.count()
+                n_frontier, _, self._next_hot_hosts = self._frontier_stats(
+                    frontier, hot_thr)
             if n_frontier == 0:
                 break
             if max_rounds is not None and round_no >= max_rounds:
@@ -244,7 +290,11 @@ class CrawlJob:
             if settings.replay_mode == "serialized":
                 first = frontier.orderBy("enqueue_seq").limit(1)
                 due = first
-                carried = frontier.join(due.select("url"), "url", "left_anti")
+                # anti-join on enqueue_seq (unique), not url: the reference
+                # can enqueue one target twice via two same-round redirects,
+                # and only the dequeued copy must leave the frontier
+                carried = frontier.join(
+                    due.select("enqueue_seq"), "enqueue_seq", "left_anti")
                 carried_count = n_frontier - 1
             else:
                 due, carried = frontier, self._empty(schemas.FRONTIER)
@@ -253,10 +303,12 @@ class CrawlJob:
             attempts = fetch_round(
                 due, pages_meta, host_state, opts,
                 # salting reorders within a host → scale mode only
-                skew_salt_threshold=(0 if self.exact_order
-                                     else settings.skew_salt_threshold),
-                skew_salt_factor=settings.skew_salt_factor)
-            attempt_rows, host_state_new = split_attempts(attempts)
+                skew_salt_threshold=hot_thr,
+                skew_salt_factor=settings.skew_salt_factor,
+                # hot set comes from the previous round's frontier stats
+                # (no extra count+collect job per round)
+                hot_hosts=self._next_hot_hosts)
+            attempt_rows, host_state_new = split_attempts(attempts, host_state)
             attempt_rows = attempt_rows.cache()
 
             # host scheduler state: replace updated hosts
@@ -401,9 +453,8 @@ class CrawlJob:
                         per_host_robots=self.per_host_robots,
                         exact_order=self.exact_order,
                         lazy_counts=not precise,
-                        bloom_bits=(self._bloom.to_bytes()
-                                    if self.use_bloom and self._bloom else None))
-            self._bloom_update(adm.seen_add)
+                        bloom_store=self._bloom_store)
+            seen_add = adm.seen_add.cache()
 
             adm_results = adm.results
             if precise:
@@ -420,11 +471,14 @@ class CrawlJob:
             # concatenate partition lists, so without it partition counts
             # (and task counts, and task-closure sizes) grow every round
             # — measured 1056 tasks on the final delta write.
-            eager = self.eager_checkpoint
+            # scale mode keeps every checkpoint lazy; the two fused stats
+            # actions below materialize them (eager would cost one job per
+            # table — 5 extra driver round-trips per crawl round)
+            eager = self.eager_checkpoint and precise
             np_ = self._n_parts
             frontier_next = (carried.unionByName(adm.frontier_add)
                              .coalesce(np_).localCheckpoint(eager=eager))
-            seen_next = (seen.unionByName(adm.seen_add)
+            seen_next = (seen.unionByName(seen_add)
                          .coalesce(np_).localCheckpoint(eager=eager))
             states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
             host_state = host_state.coalesce(np_).localCheckpoint(eager=eager)
@@ -446,18 +500,33 @@ class CrawlJob:
                        .coalesce(1).localCheckpoint(eager=False))
                 self._pending_lineage.append(lin)
 
-            # one pass for every per-attempt metric
-            n_fetched, wait_ms, n_err, n_retry = attempt_rows.agg(
-                F.count("*"), F.sum("start_delay_ms"), F.sum(err.cast("long")),
-                F.sum((err | retrying_5xx).cast("long"))).first()
-            n_delta = delta.count()
-            if not precise:
+            if precise:
+                # exact per-attempt metrics (replay/tests): one agg pass
+                n_fetched, wait_ms, n_err, n_retry = attempt_rows.agg(
+                    F.count("*"), F.sum("start_delay_ms"),
+                    F.sum(err.cast("long")),
+                    F.sum((err | retrying_5xx).cast("long"))).first()
+                n_delta = delta.count()
+                n_next, max_seq, _ = self._frontier_stats(frontier_next, 0)
+            else:
+                # ---- scale mode: 3 actions/round total ----
+                # A: delta.count() materializes the whole heavy chain
+                #    (fetch UDF → states → parse → route → results) into
+                #    the caches
+                n_delta = delta.count()
                 results_total += n_delta
-            # frontier stats in one action; materializes the cache
-            n_next, max_seq = frontier_next.agg(
-                F.count("*"), F.max("enqueue_seq")).first()
-            if not precise:
-                seq_base = max(seq_base, int(max_seq) if max_seq is not None else seq_base)
+                # B: one fused stats pass over the (now cached) attempts
+                #    + frontier: metrics, count, max seq, next hot hosts —
+                #    also materializes the frontier checkpoint
+                (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq,
+                 self._next_hot_hosts) = self._round_stats(
+                    attempt_rows, frontier_next, hot_thr)
+                seq_base = max(seq_base,
+                               int(max_seq) if max_seq is not None else seq_base)
+            # C: fold the round's new seen keys into the sharded Bloom
+            #    (distributed read-OR-write of bucket blobs; no driver keys)
+            if self.use_bloom:
+                self._bloom_store.update(seen_add)
             metrics.append({
                 "round": round_no, "frontier_size": n_frontier,
                 "fetched": int(n_fetched), "errors": int(n_err or 0),
@@ -474,7 +543,7 @@ class CrawlJob:
             # the new persisted tables still reference them lazily
             self._deferred_unpersist.extend(
                 [attempt_rows, parsed, red, round_results, adm_results,
-                 states1, frontier, seen, states])
+                 seen_add, states1, frontier, seen, states])
             if (round_no + 1) % self.snapshot_every == 0:
                 for d in self._pending_deltas:
                     delta = d.unionByName(delta)
@@ -541,9 +610,29 @@ class CrawlJob:
             meta={"round": round_no, "seq_base": seq_base,
                   "results_total": results_total,
                   "enqueue_log": enqueue_log if self.collect_enqueue_log else []},
-            blobs=({"seen_bloom": self._bloom.to_bytes()}
-                   if self._bloom is not None else None),
         )
+
+    def _frontier_stats(
+        self, frontier: DataFrame, hot_threshold: int,
+    ) -> tuple[int, int | None, set[str]]:
+        """One action: (n_rows, max enqueue_seq, hosts hotter than the
+        salting threshold). rollup('host') gives per-host counts AND the
+        grand total in a single partial-agg pass; only the total row and
+        over-threshold hosts are collected."""
+        agg = (frontier.rollup("host")
+               .agg(F.count("*").alias("n"), F.max("enqueue_seq").alias("mx")))
+        if hot_threshold > 0:
+            agg = agg.filter(F.col("host").isNull()
+                             | (F.col("n") > F.lit(hot_threshold)))
+        else:
+            agg = agg.filter(F.col("host").isNull())
+        n_rows, max_seq, hot = 0, None, set()
+        for r in agg.collect():
+            if r.host is None:
+                n_rows, max_seq = int(r.n), r.mx
+            else:
+                hot.add(r.host)
+        return n_rows, max_seq, hot
 
     def _reload(self):
         v = self.store.versions()[-1]

@@ -48,10 +48,12 @@ def mirrored_web(spark, sf_dir: str, mirrors: int):
     return pages_m
 
 
-def run_pipeline_bench(spark, pages, cpus: int):
+def run_pipeline_bench(spark, pages, cpus: int, validate: bool = True):
     """One generate→fetch→parse→validate pass over every page (no round
     loop): the per-round executor work whose scaling the N-vs-4N
-    criterion measures, isolated from driver orchestration latency."""
+    criterion measures, isolated from driver orchestration latency.
+    Pages are url-copartitioned first (as CrawlJob does), so the fetch
+    and parse joins never shuffle the payload bytes."""
     import time as _time
 
     from pyspark.sql import functions as F
@@ -61,6 +63,7 @@ def run_pipeline_bench(spark, pages, cpus: int):
     from infinitycrawler_spark.operators.parse import parse_round
     from infinitycrawler_spark.settings import CrawlSettings, RequestProcessorOptions
 
+    pages = pages.repartition(max(cpus, 16), "url").persist()
     frontier = pages.select(
         "url", "host", F.xxhash64("url").alias("url_key"),
         F.xxhash64("url").alias("enqueue_seq"),
@@ -72,7 +75,7 @@ def run_pipeline_bench(spark, pages, cpus: int):
     attempt_rows, _ = split_attempts(attempts)
     succ = attempt_rows.filter(
         (F.col("status_code") >= 200) & (F.col("status_code") <= 299))
-    parsed = parse_round(succ, pages, CrawlSettings(validate_payload=True))
+    parsed = parse_round(succ, pages, CrawlSettings(validate_payload=validate))
     stats = parsed.agg(
         F.count("*"), F.sum(F.col("image_ok").cast("long")),
         F.sum(F.size("links"))).first()
@@ -110,7 +113,7 @@ def main():
     n_seeds = seeds_df.count()
 
     if mode == "pipeline":
-        stats = run_pipeline_bench(spark, pages, cpus)
+        stats = run_pipeline_bench(spark, pages, cpus, validate=validate)
         print(json.dumps({"cpus": cpus, "sf_dir": sf_dir, "mirrors": mirrors,
                           "mode": "pipeline", **stats}))
         return
