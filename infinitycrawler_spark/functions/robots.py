@@ -20,7 +20,36 @@ vectorized operation over Arrow batches.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _compiled_rule(rule: str):
+    """Compile an RFC 9309 path rule with ``*`` (any sequence) and a
+    trailing ``$`` (end anchor) into a start-anchored regex. Returns
+    None for plain rules (prefix match is cheaper and equivalent)."""
+    if "*" not in rule and not rule.endswith("$"):
+        return None
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pattern = ".*".join(re.escape(piece) for piece in body.split("*"))
+    return re.compile(pattern + ("$" if anchored else ""))
+
+
+def rule_match_len(rule: str, path: str) -> int:
+    """RFC 9309 §2.2.2 precedence: if ``rule`` matches ``path``, return
+    its specificity (octet length of the rule, wildcards counted as
+    written — the de-facto standard shared by Google's parser); -1 if it
+    doesn't match. Plain rules are prefix matches; ``*`` matches any
+    char sequence; a trailing ``$`` anchors the end of the path."""
+    if not rule:
+        return -1
+    rx = _compiled_rule(rule)
+    if rx is None:
+        return len(rule) if path.startswith(rule) else -1
+    return len(rule) if rx.match(path) else -1
 
 
 @dataclass
@@ -47,19 +76,22 @@ class RobotsFile:
         return self.groups.get("*")
 
     def is_allowed(self, path: str, user_agent: str) -> bool:
+        """RFC 9309 longest-match-wins with ``*``/``$`` wildcard rules
+        (the reference's RobotsExclusionTools handles these; real
+        robots.txt files use them constantly). Allow wins ties."""
         group = self.group_for(user_agent)
         if group is None:
             return True
         best_len = -1
         allowed = True
         for rule in group.allow:
-            if rule and path.startswith(rule) and len(rule) > best_len:
-                best_len, allowed = len(rule), True
+            m = rule_match_len(rule, path)
+            if m > best_len:
+                best_len, allowed = m, True
         for rule in group.disallow:
-            if rule and path.startswith(rule) and len(rule) > best_len:
-                best_len, allowed = len(rule), False
-            elif rule and path.startswith(rule) and len(rule) == best_len:
-                pass  # tie → Allow wins (already set)
+            m = rule_match_len(rule, path)
+            if m > best_len:  # tie → Allow wins (strict >)
+                best_len, allowed = m, False
         return allowed
 
     def crawl_delay_for(self, user_agent: str) -> int | None:

@@ -137,6 +137,13 @@ def admit(
     links = cands.filter(F.col("kind") == "link")
     others = cands.filter(F.col("kind") != "link")
     if bloom_store is not None:
+        # cluster candidates by bloom bucket first so each check task
+        # loads ~one bucket blob (at 10^10 scale blobs can't all fit on
+        # every worker); rows of one url share a bucket, so downstream
+        # url-keyed ops are unaffected
+        nb = bloom_store.n_buckets
+        links = links.repartition(
+            nb, F.pmod(F.xxhash64("url"), F.lit(nb)))
         links = links.withColumn(
             "_maybe", bloom_store.maybe_seen_udf()(F.xxhash64("url")))
         fresh = links.filter(~F.col("_maybe")).drop("_maybe")

@@ -36,14 +36,15 @@ CONTENT_COLS = [
 ]
 
 
-def content_cols(validate_payload: bool) -> list[str]:
+def content_cols(validate_payload: bool, has_body: bool = False) -> list[str]:
     """Columns the parse pass needs. With payload validation off, the
     image payload (≈95% of the table bytes) must never be read, cached,
     or Arrow-serialized — mapInPandas sends every joined column to
-    Python, so pruning has to happen here, not in Catalyst."""
-    if validate_payload:
-        return CONTENT_COLS
-    return [c for c in CONTENT_COLS if c not in PAYLOAD_COLS]
+    Python, so pruning has to happen here, not in Catalyst. ``has_body``
+    adds the raw-HTML ``body`` column (pages in bytes mode)."""
+    cols = (CONTENT_COLS if validate_payload
+            else [c for c in CONTENT_COLS if c not in PAYLOAD_COLS])
+    return [*cols, "body"] if has_body else cols
 
 
 def parse_round(
@@ -52,30 +53,48 @@ def parse_round(
     settings: CrawlSettings,
 ) -> DataFrame:
     """success_attempts: ATTEMPT rows with 2xx status. Returns PARSED."""
+    has_body = "body" in pages_content.columns
     joined = success_attempts.select(
         "url", "host", "enqueue_seq", "depth",
         success_attempts["status_code"].alias("last_status_code"),
-    ).join(pages_content.select(*content_cols(settings.validate_payload)),
+    ).join(pages_content.select(
+        *content_cols(settings.validate_payload, has_body=has_body)),
            "url", "left")
 
     user_agent = settings.user_agent
     validate = settings.validate_payload
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infinitycrawler_spark.functions.html import extract_html
+
         for pdf in batches:
             out_rows = []
             for row in pdf.itertuples():
                 url = row.url
+                # raw-HTML-bytes mode (DefaultContentProcessor.cs:24-25):
+                # a non-null body overrides the structured fixture columns
+                body = getattr(row, "body", None)
+                row_base_href = row.base_href
+                row_canonical_href = row.canonical_href
+                row_robots_meta = row.robots_meta
+                row_links = row.links
+                if body is not None and isinstance(
+                        row.content_type, str) and "html" in row.content_type:
+                    html = extract_html(bytes(body), row.charset or "utf-8")
+                    row_base_href = html.base_href
+                    row_canonical_href = html.canonical_href
+                    row_robots_meta = html.robots_meta
+                    row_links = html.links
                 rules = list(row.x_robots_tag) if row.x_robots_tag is not None else []
-                if isinstance(row.robots_meta, str) and row.robots_meta:
-                    rules.append(row.robots_meta)
+                if isinstance(row_robots_meta, str) and row_robots_meta:
+                    rules.append(row_robots_meta)
                 can_index, can_follow = evaluate_page_robots(rules, user_agent)
-                base_href = row.base_href if isinstance(row.base_href, str) else None
+                base_href = row_base_href if isinstance(row_base_href, str) else None
                 canonical = None
-                if isinstance(row.canonical_href, str) and row.canonical_href:
-                    canonical = resolve_href(url, row.canonical_href, base_href)
+                if isinstance(row_canonical_href, str) and row_canonical_href:
+                    canonical = resolve_href(url, row_canonical_href, base_href)
                 links = []
-                for link in (row.links if row.links is not None else []):
+                for link in (row_links if row_links is not None else []):
                     href = link["href"] if isinstance(link, dict) else link.href
                     text = link["text"] if isinstance(link, dict) else link.text
                     title = link["title"] if isinstance(link, dict) else link.title

@@ -77,6 +77,14 @@ class CrawlJob:
     #: live on the store filesystem and load per bucket on executors).
     bloom_capacity: int = 2_000_000
     bloom_buckets: int = 32
+    #: the Bloom pre-filter only PRUNES work once the seen table is big
+    #: enough that the exact anti-join shuffle dominates; below this
+    #: count the check/update machinery is pure overhead (measured ~20%
+    #: of crawl wall at 10^6 URLs), so it stays off — the anti-join is
+    #: always exact either way. Crossing the threshold triggers a one-
+    #: time distributed rebuild from the seen table, then per-round
+    #: incremental folds. Set 0 to force the Bloom path (tests do).
+    bloom_min_seen: int = 4_000_000
     #: hash-partition pages by url once so the per-round fetch/parse
     #: joins never re-shuffle the payload bytes (pages side satisfies
     #: the join's HashPartitioning requirement; only the small attempt
@@ -84,6 +92,14 @@ class CrawlJob:
     copartition_pages: bool = True
     #: per-host lineage deltas (round, host, fetched, links, enqueued)
     collect_lineage: bool = True
+    #: fetch the base host's robots.txt from the crawl table at startup
+    #: (Crawler.cs:49) instead of requiring a caller-supplied robots_map
+    #: entry; needs a ``body`` column on pages
+    fetch_robots: bool = False
+    #: sitemap.xml discovery (Crawler.cs:56-62): robots ``Sitemap:``
+    #: directives + the /sitemap.xml default, sitemap indexes followed,
+    #: entry URLs appended to ``sitemap_urls`` as round-0 seeds
+    discover_sitemaps: bool = False
 
     def __post_init__(self):
         from infinitycrawler_spark.operators.parse import content_cols
@@ -100,30 +116,36 @@ class CrawlJob:
         self._deferred_unpersist: list[DataFrame] = []
         self._next_frontier_count: int | None = None
         self._next_hot_hosts: set[str] | None = None
+        self._n_seen = 0
         self._n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         self._bloom_store = (
             BloomShardStore(self.store_root, n_buckets=self.bloom_buckets,
                             capacity_per_bucket=self.bloom_capacity)
             if self.use_bloom else None)
+        self._has_body = "body" in self.pages.columns
         if self.copartition_pages:
             # persist only the columns the engine reads: the payload
             # (~95% of table bytes) is dropped when validation is off
             needed = list(dict.fromkeys(
                 [*schemas.PAGES_META_COLS,
-                 *content_cols(self.settings.validate_payload)]))
+                 *content_cols(self.settings.validate_payload,
+                               has_body=self._has_body)]))
             self.pages = (self.pages.select(*needed)
                           .repartition(self._n_parts, "url").persist())
+        if self.fetch_robots or self.discover_sitemaps:
+            self._discover()
 
     def _round_stats(
         self, attempt_rows: DataFrame, frontier_next: DataFrame,
-        hot_threshold: int,
-    ) -> tuple[int, float, int, int, int, int | None, set[str]]:
+        seen_add: DataFrame | None, hot_threshold: int,
+    ) -> tuple[int, float, int, int, int, int | None, set[str], int]:
         """ONE action for every remaining per-round statistic: attempt
         metrics (fetched/wait/errors/retries) + frontier stats (count,
-        max enqueue_seq, next round's hot hosts). Runs AFTER the delta
-        action so every input is already cached — this is a cheap narrow
-        aggregation that also materializes the frontier checkpoint.
-        → (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot)."""
+        max enqueue_seq, next round's hot hosts) + new-seen count. Runs
+        AFTER the delta action so every input is already cached — this
+        is a cheap narrow aggregation that also materializes the
+        frontier checkpoint. → (n_fetched, wait_ms, n_err, n_retry,
+        n_next, max_seq, hot, n_seen_add)."""
         err_l = F.col("error").isNotNull()
         r5 = (~err_l) & F.col("status_code").between(500, 599)
         att = attempt_rows.select(
@@ -136,7 +158,14 @@ class CrawlJob:
             F.lit(None).cast("double").alias("w"),
             F.lit(0).cast("long").alias("e"), F.lit(0).cast("long").alias("r"),
             F.col("enqueue_seq").cast("long").alias("q"))
-        agg = (att.unionByName(fr).rollup("t", "h")
+        src = att.unionByName(fr)
+        if seen_add is not None:
+            src = src.unionByName(seen_add.select(
+                F.lit("s").alias("t"), F.lit(None).cast("string").alias("h"),
+                F.lit(None).cast("double").alias("w"),
+                F.lit(0).cast("long").alias("e"), F.lit(0).cast("long").alias("r"),
+                F.lit(None).cast("long").alias("q")))
+        agg = (src.rollup("t", "h")
                .agg(F.count("*").alias("n"), F.sum("w").alias("sw"),
                     F.sum("e").alias("se"), F.sum("r").alias("sr"),
                     F.max("q").alias("mq")))
@@ -145,7 +174,7 @@ class CrawlJob:
                          & (F.col("h").isNull()
                             | (hot_pred if hot_threshold > 0 else F.lit(False))))
         n_fetched, wait_ms, n_err, n_retry = 0, 0.0, 0, 0
-        n_next, max_seq, hot = 0, None, set()
+        n_next, max_seq, hot, n_seen_add = 0, None, set(), 0
         for row in agg.collect():
             if row.h is not None:
                 hot.add(row.h)
@@ -154,11 +183,56 @@ class CrawlJob:
                 n_err, n_retry = int(row.se or 0), int(row.sr or 0)
             elif row.t == "f":
                 n_next, max_seq = int(row.n), row.mq
-        return n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot
+            elif row.t == "s":
+                n_seen_add = int(row.n)
+        return (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot,
+                n_seen_add)
 
     # ------------------------------------------------------------ setup
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema=schema)
+
+    def _page_body(self, url: str) -> bytes | None:
+        """Driver-side single-row body lookup against the crawl table.
+        Used ONLY for per-crawl-bounded discovery fetches (one robots.txt
+        + a handful of sitemap files), never per-URL."""
+        if not self._has_body:
+            return None
+        cu = canonicalize(url)
+        rows = (self.pages.filter(F.col("url") == cu)
+                .select("body", "status_code").take(1))
+        if not rows or rows[0].status_code != 200 or rows[0].body is None:
+            return None
+        return bytes(rows[0].body)
+
+    def _discover(self) -> None:
+        """Startup discovery, mirroring Crawler.Crawl's sequence
+        (Crawler.cs:49-62): fetch the base authority's robots.txt, then
+        walk its ``Sitemap:`` directives + the /sitemap.xml default and
+        append every entry location to the round-0 seed list."""
+        from infinitycrawler_spark.functions.robots import parse_robots_txt
+        from infinitycrawler_spark.functions.sitemaps import discover_sitemap_urls
+
+        scheme = scheme_of(self.seed_uri) or "http"
+        robots_text: str | None = None
+        body = self._page_body(f"{scheme}://{self.base_host}/robots.txt")
+        if body is not None:
+            robots_text = body.decode("utf-8", errors="replace")
+        if self.fetch_robots and robots_text is not None:
+            # caller-supplied entries win (pre-parsed robots take priority)
+            self.robots_map = dict(self.robots_map)
+            self.robots_map.setdefault(
+                self.base_host, parse_robots_txt(robots_text))
+        if self.discover_sitemaps:
+            found = discover_sitemap_urls(
+                self._page_body, self.base_host, scheme=scheme,
+                robots_text=robots_text)
+            if found and isinstance(self.sitemap_urls, DataFrame):
+                found_df = self.spark.createDataFrame(
+                    [(u,) for u in found], schema="url string")
+                self.sitemap_urls = self.sitemap_urls.select("url").unionByName(found_df)
+            elif found:
+                self.sitemap_urls = [*self.sitemap_urls, *found]
 
     def _seed_candidates(self) -> DataFrame:
         root = canonicalize(
@@ -226,7 +300,9 @@ class CrawlJob:
             if self.use_bloom:
                 # blobs may lead the snapshot (safe: superset) but a
                 # rebuild restores the exact superset-of-seen invariant
-                self._bloom_store.rebuild(seen)
+                self._n_seen = seen.count()
+                if self._n_seen >= self.bloom_min_seen:
+                    self._bloom_store.rebuild(seen)
             meta = manifest["meta"]
             round_no = meta["round"] + 1
             seq_base = meta["seq_base"]
@@ -246,7 +322,9 @@ class CrawlJob:
             frontier = adm.frontier_add
             seen = adm.seen_add
             if self.use_bloom:
-                self._bloom_store.update(seen)
+                self._n_seen = seen.count()
+                if self._n_seen >= self.bloom_min_seen:
+                    self._bloom_store.update(seen)
             seq_base = adm.n_enqueued
             results0 = adm.results.cache()
             n_res0 = results0.count()
@@ -453,7 +531,10 @@ class CrawlJob:
                         per_host_robots=self.per_host_robots,
                         exact_order=self.exact_order,
                         lazy_counts=not precise,
-                        bloom_store=self._bloom_store)
+                        bloom_store=(self._bloom_store
+                                     if self.use_bloom
+                                     and self._n_seen >= self.bloom_min_seen
+                                     else None))
             seen_add = adm.seen_add.cache()
 
             adm_results = adm.results
@@ -508,25 +589,34 @@ class CrawlJob:
                     F.sum((err | retrying_5xx).cast("long"))).first()
                 n_delta = delta.count()
                 n_next, max_seq, _ = self._frontier_stats(frontier_next, 0)
+                n_seen_add = seen_add.count() if self.use_bloom else 0
             else:
-                # ---- scale mode: 3 actions/round total ----
+                # ---- scale mode: ≤3 actions/round total ----
                 # A: delta.count() materializes the whole heavy chain
                 #    (fetch UDF → states → parse → route → results) into
                 #    the caches
                 n_delta = delta.count()
                 results_total += n_delta
                 # B: one fused stats pass over the (now cached) attempts
-                #    + frontier: metrics, count, max seq, next hot hosts —
-                #    also materializes the frontier checkpoint
+                #    + frontier + new-seen: metrics, counts, max seq, next
+                #    hot hosts — also materializes the frontier checkpoint
                 (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq,
-                 self._next_hot_hosts) = self._round_stats(
-                    attempt_rows, frontier_next, hot_thr)
+                 self._next_hot_hosts, n_seen_add) = self._round_stats(
+                    attempt_rows, frontier_next,
+                    seen_add if self.use_bloom else None, hot_thr)
                 seq_base = max(seq_base,
                                int(max_seq) if max_seq is not None else seq_base)
-            # C: fold the round's new seen keys into the sharded Bloom
-            #    (distributed read-OR-write of bucket blobs; no driver keys)
+            # C (only above the Bloom activation threshold): fold the
+            # round's new seen keys into the sharded blobs — distributed
+            # read-OR-write, no driver keys; crossing the threshold does
+            # a one-time distributed rebuild from the full seen table
             if self.use_bloom:
-                self._bloom_store.update(seen_add)
+                prev_seen = self._n_seen
+                self._n_seen = prev_seen + n_seen_add
+                if prev_seen >= self.bloom_min_seen:
+                    self._bloom_store.update(seen_add)
+                elif self._n_seen >= self.bloom_min_seen:
+                    self._bloom_store.rebuild(seen_next)
             metrics.append({
                 "round": round_no, "frontier_size": n_frontier,
                 "fetched": int(n_fetched), "errors": int(n_err or 0),

@@ -17,13 +17,25 @@ from infinitycrawler_spark.synth.fixtures import WebFixture
 
 
 def pages_df(spark: SparkSession, fixture: WebFixture) -> DataFrame:
+    """Fixture pages → DataFrame. If any page dict carries a ``body``
+    key (raw response bytes — HTML, robots.txt, sitemap XML), a nullable
+    ``body:binary`` column is appended and the engine parses content
+    from it (DefaultContentProcessor.cs:24-25 raw-stream mode)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = schemas.CRAWL_PAGES
+    has_body = any("body" in p for p in fixture.pages)
+    if has_body:
+        schema = StructType(
+            [*schemas.CRAWL_PAGES.fields, StructField("body", BinaryType(), True)])
     rows = [
-        tuple(p[f.name] if f.name != "links"
-              else [(l["href"], l["text"], l["title"], l["rel"]) for l in p["links"]]
-              for f in schemas.CRAWL_PAGES.fields)
+        tuple(p.get(f.name) if f.name != "links"
+              else [(l["href"], l["text"], l["title"], l["rel"])
+                    for l in (p.get("links") or [])]
+              for f in schema.fields)
         for p in fixture.pages
     ]
-    return spark.createDataFrame(rows, schema=schemas.CRAWL_PAGES)
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def robots_rules_df(spark: SparkSession, fixture: WebFixture) -> DataFrame:

@@ -54,11 +54,48 @@ def test_property_membership(keys):
 
 
 def test_crawl_with_and_without_bloom_identical(spark):
+    # bloom_min_seen=0 forces the sharded-Bloom check/update path from
+    # round 0 (default gate would leave it dormant at fixture scale)
     s = CrawlSettings(request_processor_options=RequestProcessorOptions().no_delay())
-    with_bloom = crawl_fixture(spark, basic_site(), s, use_bloom=True)
+    with_bloom = crawl_fixture(spark, basic_site(), s, use_bloom=True,
+                               bloom_min_seen=0)
     g = golden.crawl(basic_site(), s)
     got = {(r.url, r.status, r.n_attempts) for r in with_bloom.results.collect()}
     want = {(r.url, r.status, r.n_attempts) for r in g.results}
     assert got == want
     assert {r.url for r in with_bloom.seen.collect()} == g.seen
     assert with_bloom.enqueue_log == g.enqueue_order
+
+
+def test_bloom_shard_store_roundtrip(spark, tmp_path):
+    """Distributed fold + membership UDF: every folded key reads back
+    maybe-seen=True (superset invariant); unseen keys mostly False."""
+    import pyspark.sql.functions as F
+
+    from infinitycrawler_spark.state.bloom_store import BloomShardStore
+
+    store = BloomShardStore(str(tmp_path), n_buckets=8,
+                            capacity_per_bucket=10_000)
+    seen = spark.range(1000).select(
+        F.concat(F.lit("http://h/p"), "id").alias("url"),
+        F.xxhash64(F.concat(F.lit("http://h/p"), "id")).alias("url_key"))
+    n = store.update(seen)
+    assert n == 1000
+    checked = seen.withColumn("maybe", store.maybe_seen_udf()(F.col("url_key")))
+    assert checked.filter(~F.col("maybe")).count() == 0  # no false negatives
+    fresh = spark.range(1000, 3000).select(
+        F.xxhash64(F.concat(F.lit("http://h/x"), "id")).alias("url_key"))
+    fp = fresh.withColumn("maybe", store.maybe_seen_udf()(F.col("url_key")))
+    assert fp.filter(F.col("maybe")).count() < 200  # fp rate sane
+
+
+def test_bloom_gate_crossing_is_equivalent(spark):
+    """A crawl that crosses bloom_min_seen mid-run (rebuild-then-
+    incremental) matches the golden interpreter exactly."""
+    s = CrawlSettings(request_processor_options=RequestProcessorOptions().no_delay())
+    crossing = crawl_fixture(spark, basic_site(), s, use_bloom=True,
+                             bloom_min_seen=5)  # crossed after round 0
+    g = golden.crawl(basic_site(), s)
+    got = {(r.url, r.status, r.n_attempts) for r in crossing.results.collect()}
+    assert got == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in crossing.seen.collect()} == g.seen

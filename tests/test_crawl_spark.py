@@ -136,3 +136,33 @@ def test_metrics_emitted(basic_crawl):
     for key in ("frontier_size", "fetched", "results_emitted", "new_urls",
                 "pages_per_s", "politeness_wait_ms"):
         assert key in m0
+
+
+def test_wildcard_robots_gates_admission(spark):
+    """RFC 9309 wildcard Disallow (`/*.php$`) blocks matching links at
+    admission, end-to-end through the engine AND the golden oracle."""
+    from infinitycrawler_spark.synth.fixtures import WebFixture, _link, _page
+
+    fx = WebFixture(
+        name="wildcard-robots",
+        pages=[
+            _page("http://localhost/",
+                  links=[_link("a.php"), _link("a.php?x=1"), _link("b.html"),
+                         _link("dir/c.php")]),
+            _page("http://localhost/a.php"),
+            _page("http://localhost/a.php?x=1"),
+            _page("http://localhost/b.html"),
+            _page("http://localhost/dir/c.php"),
+        ],
+        robots_txt={"localhost": "User-agent: *\nDisallow: /*.php$\n"},
+        sitemap_urls=[], seed_uri="http://localhost/")
+    out = crawl_fixture(spark, fx, _settings())
+    rows = out.results.collect()
+    g = golden.crawl(fx, _settings())
+    assert _result_set(rows) == g.result_set()
+    by = {r.url: r.status for r in rows}
+    # $-anchored: bare .php URLs blocked, the query-string one crawled
+    assert by["http://localhost/a.php"] == "RobotsBlocked"
+    assert by["http://localhost/dir/c.php"] == "RobotsBlocked"
+    assert by["http://localhost/a.php?x=1"] == "Crawled"
+    assert by["http://localhost/b.html"] == "Crawled"

@@ -29,6 +29,45 @@ def test_agent_specific_group():
     assert not robots.is_allowed("/x", "otherbot")
 
 
+def test_wildcard_star():
+    # RFC 9309 §2.2.3: '*' matches any sequence of characters
+    robots = parse_robots_txt("User-agent: *\nDisallow: /*.php\n")
+    assert not robots.is_allowed("/index.php", "bot")
+    assert not robots.is_allowed("/a/b/page.php?x=1", "bot")
+    assert robots.is_allowed("/index.html", "bot")
+
+
+def test_wildcard_end_anchor():
+    robots = parse_robots_txt("User-agent: *\nDisallow: /*.php$\n")
+    assert not robots.is_allowed("/index.php", "bot")
+    assert robots.is_allowed("/index.php?x=1", "bot")  # not at end
+    assert robots.is_allowed("/index.phpx", "bot")
+
+
+def test_wildcard_longest_match_precedence():
+    # fishery page: Allow '/fishery' (8 octets) beats Disallow '/fish'
+    # (5); wildcard Disallow '/fish*.xml' (10) beats both where it hits
+    robots = parse_robots_txt(
+        "User-agent: *\nDisallow: /fish\nAllow: /fishery\n"
+        "Disallow: /fishery*.xml\n")
+    assert not robots.is_allowed("/fish/salmon", "bot")
+    assert robots.is_allowed("/fishery/salmon", "bot")
+    assert not robots.is_allowed("/fishery/feed.xml", "bot")
+
+
+def test_wildcard_allow_wins_tie():
+    robots = parse_robots_txt(
+        "User-agent: *\nAllow: /p/*.html\nDisallow: /p/*.html\n")
+    assert robots.is_allowed("/p/x.html", "bot")
+
+
+def test_wildcard_mid_dollar_is_anchor_only_at_end():
+    # '$' only anchors as the final char; leading '*' collapses
+    robots = parse_robots_txt("User-agent: *\nDisallow: /**/private$\n")
+    assert not robots.is_allowed("/a/private", "bot")
+    assert robots.is_allowed("/a/private/x", "bot")
+
+
 def test_crawl_delay_parse_and_merge():
     robots = parse_robots_txt("User-agent: *\nCrawl-delay: 5\nDisallow: /x\n")
     assert robots.crawl_delay_for("bot") == 5
