@@ -68,6 +68,29 @@ def host_of(url: str | None) -> str | None:
         return None
 
 
+def authority_of(url: str | None) -> str | None:
+    """.NET ``Uri.GetLeftPart(UriPartial.Authority)``'s host part:
+    lowercase host WITH its non-default port (``host_of`` drops the
+    port, which must not be used to rebuild the crawl root — e.g. a
+    localhost test server on :8080)."""
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    if port is not None and port != _DEFAULT_PORTS.get(parts.scheme.lower()):
+        return f"{host}:{port}"
+    return host
+
+
 def is_well_formed_href(href: str) -> bool:
     """Approximation of .NET Uri.IsWellFormedUriString(RelativeOrAbsolute)
     for the href alphabet that appears in crawls: rejects whitespace,

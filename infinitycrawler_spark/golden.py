@@ -22,6 +22,7 @@ from infinitycrawler_spark.functions.robots import (
     RobotsFile,
 )
 from infinitycrawler_spark.functions.urls import (
+    authority_of,
     canonicalize,
     host_of,
     path_and_query,
@@ -143,7 +144,8 @@ def crawl(fixture: WebFixture, settings: CrawlSettings | None = None,
 
     # --- Crawler.Crawl setup (Crawler.cs:48-62) ---
     base_uri = canonicalize(fixture.seed_uri)
-    authority_root = f"{scheme_of(base_uri)}://{base_host}/"
+    # authority keeps a non-default port (Uri.GetLeftPart, Crawler.cs:48)
+    authority_root = f"{scheme_of(base_uri)}://{authority_of(base_uri)}/"
     add_request(strip_fragment(authority_root), False)
     for sitemap_url in fixture.sitemap_urls:
         add_request(strip_fragment(canonicalize(sitemap_url) or ""), False)

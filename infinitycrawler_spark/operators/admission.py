@@ -76,6 +76,58 @@ def _robots_allowed_udf(robots_map: dict[str, RobotsFile], base_host: str,
     return allowed
 
 
+def select_robots_group(robots_rules: DataFrame, user_agent: str) -> DataFrame:
+    """Per-host group selection over a ROBOTS_RULES table (host,
+    user_agent, allow, disallow, crawl_delay_s): the group whose token
+    is contained in the crawl's user agent wins over the ``*`` group
+    (RobotsFile.group_for semantics); among several matching tokens the
+    longest (then lexicographically first) wins, for determinism. One
+    row per host out."""
+    ua = user_agent.lower()
+    w = Window.partitionBy("host").orderBy(
+        F.col("specific").desc(), F.length("user_agent").desc(),
+        F.col("user_agent").asc())
+    return (robots_rules
+            .filter((F.col("user_agent") == "*")
+                    | (F.instr(F.lit(ua), F.lower("user_agent")) > 0))
+            .withColumn("specific", (F.col("user_agent") != "*").cast("int"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("specific", "_rn"))
+
+
+def _robots_rules_arrays_udf(user_agent: str):
+    """Vectorized RFC 9309 evaluation over per-row (allow, disallow)
+    rule arrays — the robots-as-data path: rules ride a broadcast-joined
+    column instead of a driver-held dict, so per-host robots scale to
+    any host count. Null arrays (host without robots.txt) → allowed."""
+
+    @F.pandas_udf(BooleanType())
+    def allowed(allow: pd.Series, disallow: pd.Series, urls: pd.Series) -> pd.Series:
+        from infinitycrawler_spark.functions.robots import rule_match_len
+        from infinitycrawler_spark.functions.urls import path_and_query
+
+        out = []
+        for al, dis, url in zip(allow, disallow, urls):
+            if al is None and dis is None:
+                out.append(True)
+                continue
+            path = path_and_query(url)
+            best, ok = -1, True
+            for rule in (al if al is not None else []):
+                m = rule_match_len(rule, path)
+                if m > best:
+                    best, ok = m, True
+            for rule in (dis if dis is not None else []):
+                m = rule_match_len(rule, path)
+                if m > best:  # tie → Allow wins
+                    best, ok = m, False
+            out.append(ok)
+        return pd.Series(out, dtype="bool")
+
+    return allowed
+
+
 def _budget_fold(flags: list[tuple[bool, bool]], base: int, max_pages: int) -> list[bool]:
     """Exact replication of the serialized budget semantics. Each flag
     is (skip_budget, will_short_circuit)."""
@@ -110,6 +162,7 @@ def admit(
     exact_order: bool = True,
     lazy_counts: bool = False,
     bloom_store=None,
+    robots_rules: DataFrame | None = None,
 ) -> AdmissionOutput:
     """candidates: CANDIDATES schema rows for one round, where
     ``moved_chain`` is set for redirect candidates. ``states`` must be
@@ -223,10 +276,25 @@ def admit(
         .otherwise(F.lit("gate")),
     )
 
-    allowed_udf = _robots_allowed_udf(robots_map, base_host, per_host_robots,
-                                      settings.user_agent)
-    gated = routed.filter(F.col("route") == "gate").withColumn(
-        "robots_ok", allowed_udf(F.col("host"), F.col("url")))
+    if robots_rules is not None:
+        # robots-as-data (scale path): per-host rule arrays broadcast-
+        # joined in, RFC 9309 match vectorized over the arrays — no
+        # driver-held dict, host count unbounded
+        sel = select_robots_group(robots_rules, settings.user_agent)
+        arr_udf = _robots_rules_arrays_udf(settings.user_agent)
+        gated = (routed.filter(F.col("route") == "gate")
+                 .join(F.broadcast(sel.select("host", "allow", "disallow")),
+                       "host", "left")
+                 .withColumn("robots_ok",
+                             arr_udf(F.col("allow"), F.col("disallow"),
+                                     F.col("url")))
+                 .drop("allow", "disallow"))
+    else:
+        allowed_udf = _robots_allowed_udf(robots_map, base_host,
+                                          per_host_robots,
+                                          settings.user_agent)
+        gated = routed.filter(F.col("route") == "gate").withColumn(
+            "robots_ok", allowed_udf(F.col("host"), F.col("url")))
 
     null_links = F.array().cast("array<string>")
     null_i = F.lit(None).cast("int")

@@ -145,3 +145,41 @@ def http_fetch_round(
         return out
 
     return joined.groupBy("host").applyInPandas(fetch_group, schema=HTTP_ATTEMPT)
+
+
+# ------------------------------------------------- CrawlJob seam adapters
+
+def http_request_processor(due, pages_meta, host_state, options,
+                           user_agent: str = "InfinityCrawler-Spark", **_kw):
+    """``CrawlJob(request_processor=...)`` adapter: real sockets instead
+    of the synthetic pages-table join. ``pages_meta`` and the skew-salt
+    kwargs are ignored — real requests already serialize per host."""
+    return http_fetch_round(due, host_state, options, user_agent=user_agent)
+
+
+def http_content_processor(success_attempts, pages_content, settings):
+    """``CrawlJob(content_processor=...)`` adapter: parse the response
+    bodies the HTTP fetch carried back on the attempt rows themselves
+    (the reference's Parse consumes the request's content stream,
+    Crawler.cs:66-74) instead of joining the synthetic pages table."""
+    from dataclasses import replace as _dc_replace
+
+    from pyspark.sql import functions as F
+
+    from infinitycrawler_spark.operators.parse import parse_round
+
+    derived_pages = success_attempts.select(
+        "url", "x_robots_tag",
+        F.lit(None).cast("string").alias("robots_meta"),
+        F.lit(None).cast("string").alias("base_href"),
+        F.lit(None).cast("string").alias("canonical_href"),
+        F.lit(None).cast(
+            "array<struct<href:string,text:string,title:string,rel:string>>"
+        ).alias("links"),
+        "content_type", "charset", "body")
+    if settings.validate_payload:
+        # no synthetic image payload on real responses
+        settings = _dc_replace(settings, validate_payload=False)
+    return parse_round(
+        success_attempts.drop("x_robots_tag", "content_type", "charset"),
+        derived_pages, settings)

@@ -100,6 +100,22 @@ class CrawlJob:
     #: directives + the /sitemap.xml default, sitemap indexes followed,
     #: entry URLs appended to ``sitemap_urls`` as round-0 seeds
     discover_sitemaps: bool = False
+    #: pluggable processor seam (CrawlSettings.cs:18-19 —
+    #: IRequestProcessor / IContentProcessor). ``request_processor``
+    #: takes (due, pages_meta, host_state, options, skew_salt_threshold=,
+    #: skew_salt_factor=, hot_hosts=) and returns ATTEMPT-schema rows
+    #: (+ optional payload columns, e.g. the real-HTTP variant's body);
+    #: ``content_processor`` takes (success_attempts, pages_content,
+    #: settings) and returns PARSED. None → the synthetic-table pair
+    #: (operators.fetch.fetch_round / operators.parse.parse_round).
+    request_processor: object | None = None
+    content_processor: object | None = None
+    #: robots-as-data: a ROBOTS_RULES DataFrame (host, user_agent,
+    #: allow, disallow, crawl_delay_s). When set it replaces robots_map
+    #: for admission gating — per-host rules broadcast-joined by host,
+    #: so host count is unbounded (a driver dict is not). robots_map
+    #: still supplies the base host's crawl-delay merge if present.
+    robots_rules: DataFrame | None = None
 
     def __post_init__(self):
         from infinitycrawler_spark.operators.parse import content_cols
@@ -235,8 +251,12 @@ class CrawlJob:
                 self.sitemap_urls = [*self.sitemap_urls, *found]
 
     def _seed_candidates(self) -> DataFrame:
+        # authority (host:port), not bare hostname — GetLeftPart keeps
+        # the port (Crawler.cs:48); scope/robots still match by hostname
+        from infinitycrawler_spark.functions.urls import authority_of
+
         root = canonicalize(
-            f"{scheme_of(self.seed_uri)}://{self.base_host}/")
+            f"{scheme_of(self.seed_uri)}://{authority_of(self.seed_uri)}/")
         if isinstance(self.sitemap_urls, DataFrame):
             # scale path: seeds stay distributed (a driver-side list of
             # 10^7+ urls would serialize through createDataFrame)
@@ -273,6 +293,15 @@ class CrawlJob:
         opts = self.settings.request_processor_options
         robots = self.robots_map.get(self.base_host)
         delay_s = robots.crawl_delay_for(self.settings.user_agent) if robots else None
+        if robots is None and self.robots_rules is not None:
+            # robots-as-data: the base host's crawl-delay comes from its
+            # selected group row (one driver-side take, once per crawl)
+            from infinitycrawler_spark.operators.admission import select_robots_group
+
+            row = (select_robots_group(self.robots_rules, self.settings.user_agent)
+                   .filter(F.col("host") == self.base_host)
+                   .select("crawl_delay_s").take(1))
+            delay_s = row[0].crawl_delay_s if row else None
         merged = merged_crawl_delay_ms(
             delay_s, opts.delay_between_request_start_ms,
             bug_compatible=self.settings.bug_compatible_crawl_delay)
@@ -318,7 +347,8 @@ class CrawlJob:
             adm = admit(self._seed_candidates(), seen, states, self.robots_map,
                         settings, self.base_host, budget_base=0, seq_base=0,
                         round_no=0, per_host_robots=self.per_host_robots,
-                        exact_order=self.exact_order)
+                        exact_order=self.exact_order,
+                        robots_rules=self.robots_rules)
             frontier = adm.frontier_add
             seen = adm.seen_add
             if self.use_bloom:
@@ -378,7 +408,7 @@ class CrawlJob:
                 due, carried = frontier, self._empty(schemas.FRONTIER)
                 carried_count = 0
 
-            attempts = fetch_round(
+            attempts = (self.request_processor or fetch_round)(
                 due, pages_meta, host_state, opts,
                 # salting reorders within a host → scale mode only
                 skew_salt_threshold=hot_thr,
@@ -442,7 +472,8 @@ class CrawlJob:
                 moved.join(states2.select("url"), "url", "left_anti"))
 
             # ---- parse + this round's direct results
-            parsed = parse_round(successes, self.pages, settings).cache()
+            parsed = (self.content_processor or parse_round)(
+                successes, self.pages, settings).cache()
             st_info = states1.select(
                 "url", F.col("n_attempts").alias("r_attempts"),
                 F.col("redirect_chain").alias("r_chain"))
@@ -534,7 +565,8 @@ class CrawlJob:
                         bloom_store=(self._bloom_store
                                      if self.use_bloom
                                      and self._n_seen >= self.bloom_min_seen
-                                     else None))
+                                     else None),
+                        robots_rules=self.robots_rules)
             seen_add = adm.seen_add.cache()
 
             adm_results = adm.results

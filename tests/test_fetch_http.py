@@ -13,7 +13,9 @@ from infinitycrawler_spark.operators.fetch_http import http_fetch_round
 from infinitycrawler_spark.settings import RequestProcessorOptions
 
 PAGES = {
-    "/": (200, b"<html><body><a href='/a.html'>A</a></body></html>"),
+    "/": (200, b"<html><body><a href='/a.html'>A</a>"
+               b"<a href='/missing'>M</a>"
+               b"<a href='/redirect'>R</a></body></html>"),
     "/a.html": (200, b"<html><body>leaf</body></html>"),
     "/missing": (404, b"nope"),
 }
@@ -82,6 +84,44 @@ def test_http_fetch_transport_error_is_retryable(spark):
                            RequestProcessorOptions().no_delay()).collect()
     row = [r for r in out if not r.is_state][0]
     assert row.status_code is None and row.error is not None
+
+
+def test_crawljob_over_real_http(spark, http_base, tmp_path):
+    """Full CrawlJob against live sockets via the pluggable processor
+    seam (CrawlSettings.cs:18-19): real fetch, bodies parsed from the
+    response stream, redirects/404s routed by the unchanged engine."""
+    from infinitycrawler_spark import schemas
+    from infinitycrawler_spark.operators.fetch_http import (
+        http_content_processor,
+        http_request_processor,
+    )
+    from infinitycrawler_spark.plans.crawl_job import CrawlJob
+    from infinitycrawler_spark.settings import CrawlSettings
+
+    host = http_base.split("://", 1)[1]
+    settings = CrawlSettings(
+        validate_payload=False,
+        request_processor_options=RequestProcessorOptions().no_delay())
+    job = CrawlJob(
+        spark=spark,
+        pages=spark.createDataFrame([], schema=schemas.CRAWL_PAGES),
+        robots_map={}, sitemap_urls=[], seed_uri=f"{http_base}/",
+        settings=settings, copartition_pages=False,
+        request_processor=http_request_processor,
+        content_processor=http_content_processor,
+        store_root=str(tmp_path / "state"))
+    out = job.run()
+    by = {r.url: r for r in out.results.collect()}
+    assert by[f"{http_base}/"].status == "Crawled"
+    assert by[f"{http_base}/a.html"].status == "Crawled"
+    assert by[f"{http_base}/missing"].status == "Crawled"  # 4xx terminal
+    assert by[f"{http_base}/missing"].last_status_code == 404
+    # /redirect 302→/a.html: target already seen → chain recorded, no dup
+    red = by.get(f"{http_base}/redirect")
+    assert red is None or red.status in ("Crawled", "MaxRedirects")
+    # links on the index page were parsed from the real response body
+    assert sorted(by[f"{http_base}/"].links) == [
+        f"{http_base}/a.html", f"{http_base}/missing", f"{http_base}/redirect"]
 
 
 def test_http_fetch_politeness_spacing(spark, http_base):
