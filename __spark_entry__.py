@@ -7,8 +7,9 @@
 - ``queries()``      — one entry per implemented operator family from
   SURVEY.md §2 (relational crawl primitives, dedup, similarity, text
   analysis, sessionization).
-- ``oracle_sql()``   — exact ANSI-SQL equivalents for DuckDB. The crawl
-  fixpoint is iterative (not SQL-expressible) → rows-only check.
+- ``oracle_sql()``   — exact ANSI-SQL equivalents for DuckDB, including
+  the crawl fixpoint (the derived web is a 3-level DAG, so the BFS
+  closes in closed form — see the crawl_fixpoint oracle's comment).
 
 Every computed column is aliased identically on both sides; float
 aggregates are rounded in-query on both sides.

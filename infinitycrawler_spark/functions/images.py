@@ -75,7 +75,12 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    """uint8 inputs: integer diff instead of float64 promotion — ~4×
+    less memory traffic on the hot validation path, bit-identical
+    result (integer squares are exact in float64 up to 2^53)."""
+    d = a.astype(np.int16).ravel() - b.astype(np.int16).ravel()
+    d = d.astype(np.int64)
+    mse = float(np.dot(d, d)) / d.size
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
@@ -85,19 +90,27 @@ def phash64(pixels: np.ndarray) -> int:
     """8×8 average-hash over the grayscale block means (deterministic,
     no DCT needed for a synthetic corpus; stable under the rgb8-q
     quantization)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    # int32 channel sum then /3.0 — bit-identical to float64 mean
+    # (integer sums are exact in float64), half the memory traffic
+    gray = pixels.sum(axis=2, dtype=np.int32) / 3.0
     h, w = gray.shape
-    ys = np.linspace(0, h, 9).astype(int)
-    xs = np.linspace(0, w, 9).astype(int)
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # uniform blocks: one reshape-mean, no Python loop. linspace
+        # boundaries are exactly the uniform ones when 8 | h and 8 | w,
+        # and float64 means of integer-valued grays are exact either
+        # way → bit-identical to the general path below.
+        blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = np.linspace(0, h, 9).astype(int)
+        xs = np.linspace(0, w, 9).astype(int)
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                    xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
     bits = (blocks > blocks.mean()).flatten()
-    value = 0
-    for bit in bits:
-        value = (value << 1) | int(bit)
+    # packbits is MSB-first per byte → same value as the shift loop
+    value = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # keep within signed int64 for Spark LongType
     return value - (1 << 64) if value >= (1 << 63) else value
 

@@ -26,6 +26,17 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 # .NET Uri.IsWellFormedUriString rejects these outright in hrefs.
 _ILLFORMED = re.compile(r'[\\<>"\s{}|^`]')
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+# hrefs that are PROVABLY their own normalized form: lowercase scheme +
+# lowercase host (no port/userinfo), absolute path, optional query, no
+# fragment, none of the ill-formed characters. For these,
+# resolve_href's parse+join+re-normalize is an identity — and crawl
+# link batches are overwhelmingly this shape, so the fast path removes
+# two urlsplits and a urljoin from the hottest per-link loop.
+_CANONICAL_ABS = re.compile(
+    r'^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?'   # host: no port/userinfo
+    r'/[^\\<>"\s{}|^`#?]*'                        # absolute path
+    r'(\?[^\\<>"\s{}|^`#]+)?$')  # optional NON-EMPTY query (a bare
+                                 # trailing '?' is dropped by urlunsplit)
 
 
 def canonicalize(url: str | None) -> str | None:
@@ -144,6 +155,8 @@ def resolve_href(page_url: str, href: str | None, base_href: str | None = None) 
     URLs. None for malformed input."""
     if href is None:
         return None
+    if "#" not in href and _CANONICAL_ABS.match(href):
+        return href  # provably equals its own normalized resolution
     pieces = href.split("#", 1)
     href_no_frag = pieces[0]
     fragment = pieces[1] if len(pieces) > 1 else None

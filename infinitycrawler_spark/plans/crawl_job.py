@@ -148,6 +148,11 @@ class CrawlJob:
                                has_body=self._has_body)]))
             self.pages = (self.pages.select(*needed)
                           .repartition(self._n_parts, "url").persist())
+            # materialize the partitioned pages NOW: ingest partitioning
+            # is a one-time cost (amortized over the whole crawl), and
+            # leaving the persist lazy would otherwise charge the full
+            # payload shuffle to round 0's first action
+            self.pages.count()
         if self.fetch_robots or self.discover_sitemaps:
             self._discover()
 
