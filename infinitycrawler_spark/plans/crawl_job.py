@@ -44,6 +44,12 @@ from infinitycrawler_spark.state.store import SnapshotStore
 _FRAG = "#.*$"
 
 
+class CrawlCancelled(RuntimeError):
+    """Raised when cancel() interrupts an in-flight round's Spark job.
+    The last committed snapshot is intact — run(resume=True) on a fresh
+    CrawlJob over the same store_root continues exactly."""
+
+
 @dataclass
 class CrawlOutput:
     results: DataFrame
@@ -118,9 +124,17 @@ class CrawlJob:
     robots_rules: DataFrame | None = None
 
     def __post_init__(self):
+        import threading
+
         from infinitycrawler_spark.operators.parse import content_cols
         from infinitycrawler_spark.session import ship_package
         from infinitycrawler_spark.state.bloom_store import BloomShardStore
+
+        #: O24 cancellation (DefaultRequestProcessor.cs:50,54,94 token):
+        #: cancel() from any thread stops the loop at the next round
+        #: boundary and cancels the in-flight Spark job group; the last
+        #: committed snapshot stays valid, so run(resume=True) continues.
+        self._cancel_evt = threading.Event()
 
         ship_package(self.spark)  # executors must import this package
         if self.store_root is None:
@@ -313,8 +327,38 @@ class CrawlJob:
         return replace(opts, delay_between_request_start_ms=merged)
 
     # ------------------------------------------------------------- run
+    def cancel(self) -> None:
+        """O24: stop the crawl. Graceful at the next round boundary; if
+        a round's job is in flight its job group is cancelled and run()
+        raises CrawlCancelled (snapshot stays valid for exact resume)."""
+        self._cancel_evt.set()
+        try:
+            self.spark.sparkContext.cancelJobGroup(self._job_group)
+        except Exception:
+            pass  # no job in flight / context gone — boundary check stops us
+
     def run(self, extra_queue_urls: list[str] | None = None,
             max_rounds: int | None = None, resume: bool = False) -> CrawlOutput:
+        spark = self.spark
+        self._job_group = f"crawljob-{id(self)}"
+        spark.sparkContext.setJobGroup(self._job_group,
+                                       "crawl round loop",
+                                       interruptOnCancel=True)
+        try:
+            return self._run(extra_queue_urls, max_rounds, resume)
+        except CrawlCancelled:
+            raise
+        except Exception as exc:
+            if self._cancel_evt.is_set():
+                raise CrawlCancelled(
+                    f"crawl cancelled mid-round; resume from {self.store_root}"
+                ) from exc
+            raise
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+
+    def _run(self, extra_queue_urls: list[str] | None = None,
+             max_rounds: int | None = None, resume: bool = False) -> CrawlOutput:
         spark = self.spark
         t0 = time.time()
         self._next_frontier_count = None
@@ -397,6 +441,8 @@ class CrawlJob:
             if n_frontier == 0:
                 break
             if max_rounds is not None and round_no >= max_rounds:
+                break
+            if self._cancel_evt.is_set():
                 break
             rt0 = time.time()
 
