@@ -87,58 +87,68 @@ def fetch_round(
             request_count=int(pdf["request_count"].iloc[0]) if pd.notna(pdf["request_count"].iloc[0]) else 0,
             clock_ms=float(pdf["clock_ms"].iloc[0]) if pd.notna(pdf["clock_ms"].iloc[0]) else 0.0,
         )
+        # pre-extract columns once: per-record pdf.iloc[] / per-row
+        # pd.notna cost ~10 µs each — pure overhead at frontier scale
+        urls_a = pdf["url"].to_numpy(dtype=object)
+        delay_a = pdf["delay_ms"].to_numpy(dtype="float64", na_value=0.0)
+        status_a = pdf["status_code"].to_numpy(dtype=object)
+        avail_a = pdf["status_code"].notna().to_numpy()
+        rto_a = pdf["redirect_to"].to_numpy(dtype=object)
+        seq_a = pdf["enqueue_seq"].to_numpy()
+        depth_a = pdf["depth"].to_numpy()
         items = [
-            FetchItem(
-                url=row.url,
-                response_time_ms=float(row.delay_ms) if pd.notna(row.delay_ms) else 0.0,
-                available=pd.notna(row.status_code),
-            )
-            for row in pdf.itertuples()
+            FetchItem(url=urls_a[i], response_time_ms=delay_a[i],
+                      available=bool(avail_a[i]))
+            for i in range(len(urls_a))
         ]
         initial_count = state.request_count
         records, state = run_schedule(items, opts, state=state,
                                       time_slot_stride=stride,
                                       time_slot_offset=salt)
-        rows = []
+        nr = len(records)
+        c_url, c_seq, c_depth = [], [], []
+        c_status, c_rto, c_err = [], [], []
+        c_sdelay, c_rstart, c_elapsed = [], [], []
         for rec in records:
             # launch_seq is positional → robust to duplicate frontier urls
-            meta = pdf.iloc[rec.launch_seq - initial_count]
+            i = rec.launch_seq - initial_count
             has_response = rec.error is None
-            rows.append({
-                "url": rec.url,
-                "host": host,
-                "enqueue_seq": int(meta.enqueue_seq),
-                "depth": int(meta.depth),
-                "status_code": int(meta.status_code) if has_response else None,
-                "redirect_to": meta.redirect_to if has_response and isinstance(meta.redirect_to, str) else None,
-                "error": rec.error,
-                "start_delay_ms": rec.start_delay_ms,
-                "request_start_ms": rec.request_start_ms,
-                "elapsed_ms": rec.elapsed_ms,
-                "is_state": False,
-                "backoff_ms": None, "successes": None,
-                "request_count": None, "clock_ms": None,
-            })
-        rows.append({
-            "url": "", "host": host, "enqueue_seq": -1, "depth": 0,
-            "status_code": None, "redirect_to": None, "error": None,
-            "start_delay_ms": None, "request_start_ms": None, "elapsed_ms": None,
-            "is_state": True,
-            "backoff_ms": state.current_backoff_ms,
-            "successes": state.successes_since_throttle,
-            # DELTA, not absolute: each salted shard of one host starts
-            # from the same persisted base; summing absolutes would count
-            # the base once per shard. split_attempts re-adds the base.
-            "request_count": state.request_count - initial_count,
-            "clock_ms": state.clock_ms,
+            c_url.append(rec.url)
+            c_seq.append(int(seq_a[i]))
+            c_depth.append(int(depth_a[i]))
+            c_status.append(int(status_a[i]) if has_response else None)
+            c_rto.append(rto_a[i]
+                         if has_response and isinstance(rto_a[i], str) else None)
+            c_err.append(rec.error)
+            c_sdelay.append(rec.start_delay_ms)
+            c_rstart.append(rec.request_start_ms)
+            c_elapsed.append(rec.elapsed_ms)
+        # trailing row: per-host scheduler-state trailer. request_count is
+        # a DELTA, not absolute: each salted shard of one host starts from
+        # the same persisted base; summing absolutes would count the base
+        # once per shard. split_attempts re-adds the base.
+        c_url.append(""); c_seq.append(-1); c_depth.append(0)
+        c_status.append(None); c_rto.append(None); c_err.append(None)
+        c_sdelay.append(None); c_rstart.append(None); c_elapsed.append(None)
+        none_tail = [None] * nr
+        return pd.DataFrame({
+            "url": c_url, "host": host,
+            "enqueue_seq": pd.array(c_seq, dtype="int64"),
+            "depth": pd.array(c_depth, dtype="int32"),
+            "status_code": pd.array(c_status, dtype="Int32"),
+            "redirect_to": c_rto, "error": c_err,
+            "start_delay_ms": c_sdelay, "request_start_ms": c_rstart,
+            "elapsed_ms": c_elapsed,
+            "is_state": [False] * nr + [True],
+            "backoff_ms": pd.array(
+                none_tail + [state.current_backoff_ms], dtype="Int64"),
+            "successes": pd.array(
+                none_tail + [state.successes_since_throttle], dtype="Int64"),
+            "request_count": pd.array(
+                none_tail + [state.request_count - initial_count],
+                dtype="Int64"),
+            "clock_ms": none_tail + [state.clock_ms],
         })
-        out = pd.DataFrame(rows)
-        out["status_code"] = out["status_code"].astype("Int32")
-        out["depth"] = out["depth"].astype("int32")
-        out["backoff_ms"] = out["backoff_ms"].astype("Int64")
-        out["successes"] = out["successes"].astype("Int64")
-        out["request_count"] = out["request_count"].astype("Int64")
-        return out
 
     return joined.groupBy("host", "salt").applyInPandas(
         fetch_group, schema=schemas.ATTEMPT)

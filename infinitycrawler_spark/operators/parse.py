@@ -68,7 +68,14 @@ def parse_round(
         from infinitycrawler_spark.functions.html import extract_html
 
         for pdf in batches:
-            out_rows = []
+            # columnar accumulators: one list per output column beats a
+            # list of per-row dicts (no per-row dict alloc; DataFrame
+            # construction from columns is a straight copy per column)
+            n = len(pdf)
+            c_url, c_host, c_seq, c_depth, c_status = [], [], [], [], []
+            c_can_index, c_can_follow, c_canonical = [], [], []
+            c_ctype, c_charset, c_links = [], [], []
+            c_image_ok, c_psnr, c_phash, c_caption = [], [], [], []
             for row in pdf.itertuples():
                 url = row.url
                 # raw-HTML-bytes mode (DefaultContentProcessor.cs:24-25):
@@ -114,21 +121,27 @@ def parse_round(
                     image_ok, psnr, phash_match, caption_ok = validate_payload(
                         row.image_id, row.bytes, int(row.w), int(row.h),
                         row.fmt, row.caption, int(row.phash), row.host, path)
-                out_rows.append({
-                    "url": url, "host": row.host,
-                    "enqueue_seq": int(row.enqueue_seq), "depth": int(row.depth),
-                    "last_status_code": int(row.last_status_code),
-                    "can_index": can_index, "can_follow": can_follow,
-                    "canonical": canonical,
-                    "content_type": row.content_type, "charset": row.charset,
-                    "links": links,
-                    "image_ok": image_ok, "psnr_db": psnr,
-                    "phash_match": phash_match, "caption_ok": caption_ok,
+                c_url.append(url); c_host.append(row.host)
+                c_seq.append(int(row.enqueue_seq)); c_depth.append(int(row.depth))
+                c_status.append(int(row.last_status_code))
+                c_can_index.append(can_index); c_can_follow.append(can_follow)
+                c_canonical.append(canonical)
+                c_ctype.append(row.content_type); c_charset.append(row.charset)
+                c_links.append(links)
+                c_image_ok.append(image_ok); c_psnr.append(psnr)
+                c_phash.append(phash_match); c_caption.append(caption_ok)
+            if n:
+                yield pd.DataFrame({
+                    "url": c_url, "host": c_host,
+                    "enqueue_seq": pd.array(c_seq, dtype="int64"),
+                    "depth": pd.array(c_depth, dtype="int32"),
+                    "last_status_code": pd.array(c_status, dtype="Int32"),
+                    "can_index": c_can_index, "can_follow": c_can_follow,
+                    "canonical": c_canonical,
+                    "content_type": c_ctype, "charset": c_charset,
+                    "links": c_links,
+                    "image_ok": c_image_ok, "psnr_db": c_psnr,
+                    "phash_match": c_phash, "caption_ok": c_caption,
                 })
-            if out_rows:
-                out = pd.DataFrame(out_rows)
-                out["depth"] = out["depth"].astype("int32")
-                out["last_status_code"] = out["last_status_code"].astype("Int32")
-                yield out
 
     return joined.mapInPandas(parse_batches, schema=schemas.PARSED)

@@ -344,6 +344,14 @@ class CrawlJob:
         spark.sparkContext.setJobGroup(self._job_group,
                                        "crawl round loop",
                                        interruptOnCancel=True)
+        # AQE off for the round loop (restored after): its per-query-stage
+        # re-planning triples the driver job count (95 vs ~30 jobs per
+        # 3-round crawl) — pure serial overhead here, where shuffle
+        # partitions are already sized to the parallelism and skew is
+        # handled by explicit salting in fetch_round. Measured medians
+        # of 3 at local[16], 490k URLs: 72.3 s (off) vs 82.8 s (on).
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             return self._run(extra_queue_urls, max_rounds, resume)
         except CrawlCancelled:
@@ -355,6 +363,7 @@ class CrawlJob:
                 ) from exc
             raise
         finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             spark.sparkContext.setJobGroup("", "")
 
     def _run(self, extra_queue_urls: list[str] | None = None,

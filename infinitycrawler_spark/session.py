@@ -40,7 +40,8 @@ def get_spark(app_name: str = "infinitycrawler-spark",
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
@@ -51,6 +52,15 @@ def get_spark(app_name: str = "infinitycrawler-spark",
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+        # profiling hook: per-stage/task timing via the event log
+        elog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR",
+                                  "/tmp/spark-events")
+        os.makedirs(elog_dir, exist_ok=True)
+        builder = (builder
+                   .config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", elog_dir)
+                   .config("spark.eventLog.compress", "false"))
     spark = builder.getOrCreate()
     ship_package(spark)
     return spark

@@ -10,10 +10,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from infinitycrawler_spark.functions.images import (
+    _expected_art,
     encode_image,
     expected_caption,
-    expected_pixels,
-    phash64,
 )
 
 
@@ -34,11 +33,11 @@ def with_real_payload(pages: DataFrame, w: int = 32, h: int = 24,
             n = len(pdf)
             bytes_col, captions, phashes = [], [], []
             for image_id, host, url in zip(pdf["image_id"], pdf["host"], pdf["url"]):
-                px = expected_pixels(image_id, w, h)
+                px, ph = _expected_art(image_id, w, h)  # memoized
                 bytes_col.append(encode_image(px, fmt))
                 path = url.split(host, 1)[1] if host in url else url
                 captions.append(expected_caption(image_id, host, path))
-                phashes.append(phash64(px))
+                phashes.append(ph)
             pdf = pdf.copy()
             pdf["bytes"] = bytes_col
             pdf["w"] = pd.Series([w] * n, index=pdf.index, dtype="int32")
