@@ -17,6 +17,7 @@ manifest), which gives exact resume and truncates Spark lineage.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 from dataclasses import dataclass, field, replace
@@ -153,6 +154,14 @@ class CrawlJob:
                             capacity_per_bucket=self.bloom_capacity)
             if self.use_bloom else None)
         self._has_body = "body" in self.pages.columns
+        # host-scope table, built once: big alias sets via broadcast
+        # semi-join instead of a per-round |hosts|-literal isin()
+        hosts = ({self.base_host, *self.settings.host_aliases}
+                 if self.settings.host_aliases is not None else None)
+        self._scope_hosts = (
+            self.spark.createDataFrame([(h,) for h in sorted(hosts)],
+                                       "host string")
+            if hosts is not None and len(hosts) > 64 else None)
         if self.copartition_pages:
             # persist only the columns the engine reads: the payload
             # (~95% of table bytes) is dropped when validation is off
@@ -173,33 +182,50 @@ class CrawlJob:
     def _round_stats(
         self, attempt_rows: DataFrame, frontier_next: DataFrame,
         seen_add: DataFrame | None, hot_threshold: int,
-    ) -> tuple[int, float, int, int, int, int | None, set[str], int]:
+        materialize: tuple[DataFrame, ...] = (),
+    ) -> tuple[int, float, int, int, int, int | None, set[str], int,
+               dict[int, int]]:
         """ONE action for every remaining per-round statistic: attempt
         metrics (fetched/wait/errors/retries) + frontier stats (count,
         max enqueue_seq, next round's hot hosts) + new-seen count. Runs
         AFTER the delta action so every input is already cached — this
         is a cheap narrow aggregation that also materializes the
-        frontier checkpoint. → (n_fetched, wait_ms, n_err, n_retry,
-        n_next, max_seq, hot, n_seen_add)."""
-        err_l = F.col("error").isNotNull()
-        r5 = (~err_l) & F.col("status_code").between(500, 599)
-        att = attempt_rows.select(
-            F.lit("a").alias("t"), F.lit(None).cast("string").alias("h"),
-            F.col("start_delay_ms").cast("double").alias("w"),
-            err_l.cast("long").alias("e"), (err_l | r5).cast("long").alias("r"),
-            F.lit(None).cast("long").alias("q"))
-        fr = frontier_next.select(
-            F.lit("f").alias("t"), F.col("host").alias("h"),
-            F.lit(None).cast("double").alias("w"),
-            F.lit(0).cast("long").alias("e"), F.lit(0).cast("long").alias("r"),
-            F.col("enqueue_seq").cast("long").alias("q"))
-        src = att.unionByName(fr)
+        frontier checkpoint. ``materialize`` takes further lazily
+        checkpointed state tables (seen/states/host_state) to fold into
+        the same pass as count-only rows: leaving them unmaterialized
+        would carry each round's full lineage into the next round's
+        plans, and Catalyst planning time — pure driver-serial — then
+        compounds per round (measured as multi-second driver gaps before
+        each round and a >10 s gap at the final commit).
+        ``attempt_rows=None`` (pre-loop use) skips the attempt metrics.
+        → (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot,
+        n_seen_add, {materialize_index: row_count})."""
+        def _tag(df: DataFrame, t: str) -> DataFrame:
+            # count-only rows: one selectExpr call per table (py4j cost)
+            return df.selectExpr(
+                f"'{t}' as t", "cast(null as string) as h",
+                "cast(null as double) as w", "cast(0 as long) as e",
+                "cast(0 as long) as r", "cast(null as long) as q")
+
+        fr = frontier_next.selectExpr(
+            "'f' as t", "host as h", "cast(null as double) as w",
+            "cast(0 as long) as e", "cast(0 as long) as r",
+            "cast(enqueue_seq as long) as q")
+        if attempt_rows is not None:
+            att = attempt_rows.selectExpr(
+                "'a' as t", "cast(null as string) as h",
+                "cast(start_delay_ms as double) as w",
+                "cast(error is not null as long) as e",
+                "cast(error is not null"
+                " or status_code between 500 and 599 as long) as r",
+                "cast(null as long) as q")
+            src = att.unionByName(fr)
+        else:
+            src = fr
         if seen_add is not None:
-            src = src.unionByName(seen_add.select(
-                F.lit("s").alias("t"), F.lit(None).cast("string").alias("h"),
-                F.lit(None).cast("double").alias("w"),
-                F.lit(0).cast("long").alias("e"), F.lit(0).cast("long").alias("r"),
-                F.lit(None).cast("long").alias("q")))
+            src = src.unionByName(_tag(seen_add, "s"))
+        for i, df in enumerate(materialize):
+            src = src.unionByName(_tag(df, f"m{i}"))
         agg = (src.rollup("t", "h")
                .agg(F.count("*").alias("n"), F.sum("w").alias("sw"),
                     F.sum("e").alias("se"), F.sum("r").alias("sr"),
@@ -210,6 +236,7 @@ class CrawlJob:
                             | (hot_pred if hot_threshold > 0 else F.lit(False))))
         n_fetched, wait_ms, n_err, n_retry = 0, 0.0, 0, 0
         n_next, max_seq, hot, n_seen_add = 0, None, set(), 0
+        extra: dict[int, int] = {}
         for row in agg.collect():
             if row.h is not None:
                 hot.add(row.h)
@@ -220,8 +247,10 @@ class CrawlJob:
                 n_next, max_seq = int(row.n), row.mq
             elif row.t == "s":
                 n_seen_add = int(row.n)
+            elif row.t.startswith("m"):
+                extra[int(row.t[1:])] = int(row.n)
         return (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot,
-                n_seen_add)
+                n_seen_add, extra)
 
     # ------------------------------------------------------------ setup
     def _empty(self, schema) -> DataFrame:
@@ -352,6 +381,26 @@ class CrawlJob:
         # of 3 at local[16], 490k URLs: 72.3 s (off) vs 82.8 s (on).
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Catalyst constraint propagation is quadratic in plan size and
+        # re-runs per action; the round plans are join/filter-heavy, so
+        # it dominates the per-round driver gap (planning is pure serial
+        # time). Inference only adds redundant IsNotNull/filter hints
+        # here — predicates are already explicit in the plans.
+        prev_cp = spark.conf.get(
+            "spark.sql.constraintPropagation.enabled", "true")
+        spark.conf.set("spark.sql.constraintPropagation.enabled",
+                       os.environ.get("SPARK_GRAFT_CONSTRAINT", "false"))
+        # Whole-stage codegen OFF for the round loop (restored after):
+        # every round produces fresh plans (round literals change the
+        # generated source), so each action Janino-compiles ~20 stages
+        # on the driver before any task launches — measured as ~5 s
+        # driver-only gaps per round. Interpreted mode costs more per
+        # JVM row, but the heavy row work here is in Arrow UDFs which
+        # codegen can't help. Medians at local[16], 490k URLs: 56 s
+        # (off) vs 82 s (on).
+        prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage",
+                       os.environ.get("SPARK_GRAFT_CODEGEN", "false"))
         try:
             return self._run(extra_queue_urls, max_rounds, resume)
         except CrawlCancelled:
@@ -364,6 +413,8 @@ class CrawlJob:
             raise
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
             spark.sparkContext.setJobGroup("", "")
 
     def _run(self, extra_queue_urls: list[str] | None = None,
@@ -401,21 +452,41 @@ class CrawlJob:
             host_state = self._empty(schemas.HOST_STATE)
             results_total = 0
             round_no = 0
+            precise = settings.max_number_of_pages_to_crawl > 0 or self.exact_order
             # round-0 admission: seed + sitemap candidates
             adm = admit(self._seed_candidates(), seen, states, self.robots_map,
                         settings, self.base_host, budget_base=0, seq_base=0,
                         round_no=0, per_host_robots=self.per_host_robots,
                         exact_order=self.exact_order,
-                        robots_rules=self.robots_rules)
+                        lazy_counts=not precise,
+                        robots_rules=self.robots_rules,
+                        scope_hosts=self._scope_hosts)
             frontier = adm.frontier_add
             seen = adm.seen_add
-            if self.use_bloom:
-                self._n_seen = seen.count()
-                if self._n_seen >= self.bloom_min_seen:
-                    self._bloom_store.update(seen)
-            seq_base = adm.n_enqueued
             results0 = adm.results.cache()
-            n_res0 = results0.count()
+            if precise:
+                if self.use_bloom:
+                    self._n_seen = seen.count()
+                seq_base = adm.n_enqueued
+                n_res0 = results0.count()
+            else:
+                # scale mode: ONE fused action replaces the four separate
+                # pre-loop counts (admit's two, the bloom seen count, the
+                # results count) and also precomputes round 0's frontier
+                # size + hot-host set, so the loop skips its initial
+                # _frontier_stats action too.
+                hot_thr0 = settings.skew_salt_threshold
+                (_, _, _, _, n_next0, max_seq0, hot0, n_seen0,
+                 extra0) = self._round_stats(
+                    None, frontier, seen, hot_thr0, materialize=(results0,))
+                if self.use_bloom:
+                    self._n_seen = n_seen0
+                seq_base = int(max_seq0) if max_seq0 is not None else 0
+                n_res0 = extra0.get(0, 0)
+                self._next_frontier_count = n_next0
+                self._next_hot_hosts = hot0
+            if self.use_bloom and self._n_seen >= self.bloom_min_seen:
+                self._bloom_store.update(seen)
             results_total += n_res0
             if self.collect_enqueue_log:
                 enqueue_log.extend(
@@ -468,6 +539,13 @@ class CrawlJob:
                 due, carried = frontier, self._empty(schemas.FRONTIER)
                 carried_count = 0
 
+            trace = os.environ.get("SPARK_GRAFT_TRACE")
+            _tp = [("start", time.time())]
+
+            def _t(tag):
+                if trace:
+                    _tp.append((tag, time.time()))
+
             attempts = (self.request_processor or fetch_round)(
                 due, pages_meta, host_state, opts,
                 # salting reorders within a host → scale mode only
@@ -478,6 +556,7 @@ class CrawlJob:
                 hot_hosts=self._next_hot_hosts)
             attempt_rows, host_state_new = split_attempts(attempts, host_state)
             attempt_rows = attempt_rows.cache()
+            _t("fetch")
 
             # host scheduler state: replace updated hosts
             host_state = (host_state.join(host_state_new.select("host"),
@@ -485,87 +564,102 @@ class CrawlJob:
                           .unionByName(host_state_new))
 
             # ---- crawl-state update (UriCrawlStates per-attempt append)
-            is_success = (F.col("status_code") >= 200) & (F.col("status_code") <= 299)
             st_updates = (attempt_rows
                           .join(states, "url", "left")
-                          .select(
+                          .selectExpr(
                               "url",
-                              (F.coalesce("n_attempts", F.lit(0)) + 1).alias("n_attempts"),
-                              F.coalesce("redirect_chain",
-                                         F.array().cast("array<string>")).alias("redirect_chain"),
-                              F.coalesce(is_success, F.lit(False)).alias("last_success")))
+                              "coalesce(n_attempts, 0) + 1 as n_attempts",
+                              "coalesce(redirect_chain,"
+                              " cast(array() as array<string>))"
+                              " as redirect_chain",
+                              "coalesce(status_code between 200 and 299,"
+                              " false) as last_success"))
+            _t("st_updates")
             # cached: five consumers (states2, moved, st_info×2, redirect
             # chains) would otherwise re-run the join per materialization
             states1 = (states.join(attempt_rows.select("url"), "url", "left_anti")
                        .unionByName(st_updates)).cache()
 
             # ---- routing (CrawlRunner.cs:235-291)
+            # string predicates/projections throughout the round body:
+            # each py4j Column construction costs ~1-3 ms of driver time
+            # and this DAG is rebuilt every round — selectExpr/filter
+            # strings cut measured per-round DAG-construction time ~3x
+            # with identical plans
+            codes = ", ".join(str(c) for c in REDIRECT_CODES)
             err = F.col("error").isNotNull()
-            redirecting = (~err) & F.col("status_code").isin(*REDIRECT_CODES)
-            succeeding = (~err) & is_success
-            retrying_5xx = (~err) & (F.col("status_code") >= 500) & (F.col("status_code") <= 599)
-            terminal = (~err) & ~redirecting & ~succeeding & ~retrying_5xx
-
-            redirects = attempt_rows.filter(redirecting).withColumn(
+            retrying_5xx = (~err) & F.col("status_code").between(500, 599)
+            redirects = attempt_rows.filter(
+                f"error is null and status_code in ({codes})").withColumn(
                 "target", _resolve_redirect_udf(F.col("url"), F.col("redirect_to")))
-            successes = attempt_rows.filter(succeeding)
-            retries = attempt_rows.filter(err | retrying_5xx)
-            terminals = attempt_rows.filter(terminal)
+            successes = attempt_rows.filter(
+                "error is null and status_code between 200 and 299")
+            retries = attempt_rows.filter(
+                "error is not null or status_code between 500 and 599")
+            terminals = attempt_rows.filter(
+                f"error is null and not status_code in ({codes})"
+                " and not status_code between 200 and 299"
+                " and not status_code between 500 and 599")
 
             # redirect state moves: drop source states, insert first move
             # per target where the target has no state (TryAdd semantics)
             red = redirects.cache()
             w_target = Window.partitionBy("target").orderBy("enqueue_seq")
-            moved = (red.join(states1.select("url",
-                                             F.col("redirect_chain").alias("src_chain")),
+            moved = (red.join(states1.selectExpr(
+                                  "url", "redirect_chain as src_chain"),
                               "url", "left")
                      .withColumn("_rn", F.row_number().over(w_target))
-                     .filter(F.col("_rn") == 1)
-                     .select(
-                         F.col("target").alias("url"),
-                         F.lit(0).alias("n_attempts"),
-                         F.concat(F.coalesce("src_chain", F.array().cast("array<string>")),
-                                  F.array(F.col("url"))).alias("redirect_chain"),
-                         F.lit(False).alias("last_success")))
+                     .filter("_rn = 1")
+                     .selectExpr(
+                         "target as url",
+                         "0 as n_attempts",
+                         "concat(coalesce(src_chain,"
+                         " cast(array() as array<string>)), array(url))"
+                         " as redirect_chain",
+                         "false as last_success"))
             states2 = states1.join(red.select(F.col("url")), "url", "left_anti")
             states2 = states2.unionByName(
                 moved.join(states2.select("url"), "url", "left_anti"))
+            _t("states2")
 
             # ---- parse + this round's direct results
             parsed = (self.content_processor or parse_round)(
                 successes, self.pages, settings).cache()
-            st_info = states1.select(
-                "url", F.col("n_attempts").alias("r_attempts"),
-                F.col("redirect_chain").alias("r_chain"))
+            _t("parse")
+            st_info = states1.selectExpr(
+                "url", "n_attempts as r_attempts",
+                "redirect_chain as r_chain")
 
-            res_terminal = (terminals.join(st_info, "url", "left").select(
-                "url", "host", F.lit("Crawled").alias("status"),
-                F.coalesce("r_attempts", F.lit(1)).alias("n_attempts"),
-                F.coalesce("r_chain", F.array().cast("array<string>")).alias("redirect_chain"),
-                F.col("status_code").alias("last_status_code"),
-                F.array().cast("array<string>").alias("links"),
-                F.lit(None).cast("string").alias("canonical"),
-                F.lit(round_no).alias("round"),
-                F.lit(None).cast("boolean").alias("image_ok"),
-                F.lit(None).cast("double").alias("psnr_db"),
-                F.lit(None).cast("boolean").alias("phash_match"),
-                F.lit(None).cast("boolean").alias("caption_ok")))
+            res_terminal = (terminals.join(st_info, "url", "left").selectExpr(
+                "url", "host", "'Crawled' as status",
+                "coalesce(r_attempts, 1) as n_attempts",
+                "coalesce(r_chain, cast(array() as array<string>))"
+                " as redirect_chain",
+                "status_code as last_status_code",
+                "cast(array() as array<string>) as links",
+                "cast(null as string) as canonical",
+                f"{int(round_no)} as round",
+                "cast(null as boolean) as image_ok",
+                "cast(null as double) as psnr_db",
+                "cast(null as boolean) as phash_match",
+                "cast(null as boolean) as caption_ok"))
 
             parsed_st = parsed.join(st_info, "url", "left")
-            stripped_links = F.transform(
-                "links", lambda l: F.regexp_replace(l["location"], _FRAG, ""))
-            res_parsed = parsed_st.select(
+            res_parsed = parsed_st.selectExpr(
                 "url", "host",
-                F.when(F.col("can_index"), F.lit("Crawled"))
-                 .otherwise(F.lit("RobotsBlocked")).alias("status"),
-                F.coalesce("r_attempts", F.lit(1)).alias("n_attempts"),
-                F.coalesce("r_chain", F.array().cast("array<string>")).alias("redirect_chain"),
+                "case when can_index then 'Crawled'"
+                " else 'RobotsBlocked' end as status",
+                "coalesce(r_attempts, 1) as n_attempts",
+                "coalesce(r_chain, cast(array() as array<string>))"
+                " as redirect_chain",
                 "last_status_code",
-                F.when(F.col("can_index"), stripped_links)
-                 .otherwise(F.array().cast("array<string>")).alias("links"),
+                "case when can_index then transform(links,"
+                f" l -> regexp_replace(l.location, '{_FRAG}', ''))"
+                " else cast(array() as array<string>) end as links",
                 "canonical",
-                F.lit(round_no).alias("round"),
+                f"{int(round_no)} as round",
                 "image_ok", "psnr_db", "phash_match", "caption_ok")
+            _t("results")
 
             # precise mode (budget active or exact ordering): maintain the
             # running totals the budget fold needs, at the cost of extra
@@ -577,43 +671,45 @@ class CrawlJob:
                 results_total += round_results.count()
 
             # ---- candidates for the next round
-            link_cands = (parsed.filter(F.col("can_index") & F.col("can_follow"))
+            link_cands = (parsed.filter("can_index and can_follow")
                           .select("enqueue_seq", "depth",
                                   F.posexplode("links").alias("pos", "link"))
-                          .filter(F.col("link.rel").isNull()
-                                  | (F.lower("link.rel") != "nofollow"))
-                          .select(
-                              F.regexp_replace(F.col("link.location"), _FRAG, "").alias("url"),
-                              F.lower(F.parse_url(F.col("link.location"), F.lit("HOST"))).alias("host"),
-                              F.lit("link").alias("kind"),
-                              F.col("enqueue_seq").alias("parent_seq"),
-                              F.col("pos").alias("child_pos"),
-                              (F.col("depth") + 1).alias("depth"),
-                              F.lit(False).alias("skip_budget"),
-                              F.lit(None).cast("array<string>").alias("moved_chain")))
+                          .filter("link.rel is null"
+                                  " or lower(link.rel) != 'nofollow'")
+                          .selectExpr(
+                              f"regexp_replace(link.location, '{_FRAG}', '')"
+                              " as url",
+                              "lower(parse_url(link.location, 'HOST'))"
+                              " as host",
+                              "'link' as kind",
+                              "enqueue_seq as parent_seq",
+                              "pos as child_pos",
+                              "depth + 1 as depth",
+                              "false as skip_budget",
+                              "cast(null as array<string>) as moved_chain"))
 
-            retry_cands = retries.select(
-                "url", "host", F.lit("retry").alias("kind"),
-                F.col("enqueue_seq").alias("parent_seq"),
-                F.lit(0).alias("child_pos"), "depth",
-                F.lit(False).alias("skip_budget"),
-                F.lit(None).cast("array<string>").alias("moved_chain"))
+            retry_cands = retries.selectExpr(
+                "url", "host", "'retry' as kind",
+                "enqueue_seq as parent_seq", "0 as child_pos", "depth",
+                "false as skip_budget",
+                "cast(null as array<string>) as moved_chain")
 
-            redirect_cands = (red.join(states1.select(
-                                  "url", F.col("redirect_chain").alias("src_chain")),
+            redirect_cands = (red.join(states1.selectExpr(
+                                  "url", "redirect_chain as src_chain"),
                                   "url", "left")
-                              .select(
-                                  F.col("target").alias("url"),
-                                  F.lower(F.parse_url("target", F.lit("HOST"))).alias("host"),
-                                  F.lit("redirect").alias("kind"),
-                                  F.col("enqueue_seq").alias("parent_seq"),
-                                  F.lit(0).alias("child_pos"), "depth",
-                                  F.lit(True).alias("skip_budget"),
-                                  F.concat(F.coalesce("src_chain",
-                                                      F.array().cast("array<string>")),
-                                           F.array(F.col("url"))).alias("moved_chain")))
+                              .selectExpr(
+                                  "target as url",
+                                  "lower(parse_url(target, 'HOST')) as host",
+                                  "'redirect' as kind",
+                                  "enqueue_seq as parent_seq",
+                                  "0 as child_pos", "depth",
+                                  "true as skip_budget",
+                                  "concat(coalesce(src_chain,"
+                                  " cast(array() as array<string>)),"
+                                  " array(url)) as moved_chain"))
 
             candidates = link_cands.unionByName(retry_cands).unionByName(redirect_cands)
+            _t("cands")
 
             adm = admit(candidates, seen, states2, self.robots_map, settings,
                         self.base_host,
@@ -626,8 +722,10 @@ class CrawlJob:
                                      if self.use_bloom
                                      and self._n_seen >= self.bloom_min_seen
                                      else None),
-                        robots_rules=self.robots_rules)
+                        robots_rules=self.robots_rules,
+                        scope_hosts=self._scope_hosts)
             seen_add = adm.seen_add.cache()
+            _t("admit")
 
             adm_results = adm.results
             if precise:
@@ -657,6 +755,7 @@ class CrawlJob:
             host_state = host_state.coalesce(np_).localCheckpoint(eager=eager)
             delta = (round_results.unionByName(adm_results)
                      .coalesce(np_).localCheckpoint(eager=eager))
+            _t("checkpoints")
             if self.collect_lineage:
                 lin = (attempt_rows.groupBy("host")
                        .agg(F.count("*").alias("fetched"))
@@ -687,17 +786,26 @@ class CrawlJob:
                 # A: delta.count() materializes the whole heavy chain
                 #    (fetch UDF → states → parse → route → results) into
                 #    the caches
+                t_dag = time.time() - rt0  # driver-side DAG construction
                 n_delta = delta.count()
+                t_a = time.time() - rt0 - t_dag
                 results_total += n_delta
                 # B: one fused stats pass over the (now cached) attempts
                 #    + frontier + new-seen: metrics, counts, max seq, next
                 #    hot hosts — also materializes the frontier checkpoint
                 (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq,
-                 self._next_hot_hosts, n_seen_add) = self._round_stats(
+                 self._next_hot_hosts, n_seen_add, _) = self._round_stats(
                     attempt_rows, frontier_next,
-                    seen_add if self.use_bloom else None, hot_thr)
+                    seen_add if self.use_bloom else None, hot_thr,
+                    materialize=(seen_next, states2, host_state))
                 seq_base = max(seq_base,
                                int(max_seq) if max_seq is not None else seq_base)
+                t_b = time.time() - rt0 - t_dag - t_a
+                if trace:
+                    import sys
+                    spans = [(tag, round(t - _tp[i][1], 2))
+                             for i, (tag, t) in enumerate(_tp[1:])]
+                    print(f"TRACE round={round_no} {spans}", file=sys.stderr)
             # C (only above the Bloom activation threshold): fold the
             # round's new seen keys into the sharded blobs — distributed
             # read-OR-write, no driver keys; crossing the threshold does
@@ -718,6 +826,8 @@ class CrawlJob:
                 "retries": int(n_retry or 0),
                 "wall_s": time.time() - rt0,
                 "pages_per_s": int(n_fetched) / max(time.time() - rt0, 1e-9),
+                **({"t_dag_s": round(t_dag, 2), "t_a_s": round(t_a, 2),
+                    "t_b_s": round(t_b, 2)} if not precise else {}),
             })
             self._next_frontier_count = int(n_next)
 

@@ -1,0 +1,31 @@
+"""Scale-mode parity: the bench configuration (exact_order=False,
+lazy counts, deferred snapshots, fused per-round stats action with
+state-table materialization) must produce the same crawl as the
+precise/golden path — only ordering metadata may differ."""
+
+from infinitycrawler_spark import golden
+from infinitycrawler_spark.functions.robots import parse_robots_txt
+from infinitycrawler_spark.plans.crawl_job import CrawlJob
+from infinitycrawler_spark.settings import CrawlSettings, RequestProcessorOptions
+from infinitycrawler_spark.sources.web import pages_df
+from infinitycrawler_spark.synth.fixtures import basic_site
+
+
+def test_scale_mode_matches_golden(spark, tmp_path):
+    fx = basic_site()
+    settings = CrawlSettings(
+        request_processor_options=RequestProcessorOptions().no_delay())
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fx),
+        robots_map={h: parse_robots_txt(t) for h, t in fx.robots_txt.items()},
+        sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+        settings=settings, store_root=str(tmp_path / "state"),
+        collect_enqueue_log=False, exact_order=False,
+        snapshot_every=100, eager_checkpoint=False)
+    out = job.run()
+    g = golden.crawl(basic_site(), settings)
+    assert {(r.url, r.status, r.n_attempts) for r in out.results.collect()} \
+        == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in out.seen.collect()} == g.seen
+    # fused stats action must still report sane per-round metrics
+    assert sum(m["fetched"] for m in out.metrics) >= len(g.results)

@@ -138,17 +138,29 @@ def main():
         sitemap_urls=seeds_df, seed_uri="http://nation00-m0.shop/",
         settings=settings, collect_enqueue_log=False, exact_order=False,
         snapshot_every=100, eager_checkpoint=False,
-        store_root=tempfile.mkdtemp(prefix=f"bench_scale_{cpus}_"))
+        # snapshots on tmpfs: /tmp is a virtio disk here; a production
+        # deployment writes snapshots to a parallel store, not one disk
+        store_root=tempfile.mkdtemp(prefix=f"bench_scale_{cpus}_",
+                                    dir="/dev/shm"))
     t0 = time.time()
     out = job.run()
     wall = time.time() - t0
     fetched = sum(mt["fetched"] for mt in out.metrics)
+    import shutil
+    shutil.rmtree(job.store_root, ignore_errors=True)
     print(json.dumps({
         "cpus": cpus, "sf_dir": sf_dir, "mirrors": mirrors,
         "validate_payload": validate,
         "wall_s": round(wall, 2), "rounds": out.rounds,
         "urls_fetched": int(fetched),
         "urls_per_s": round(fetched / wall, 1),
+        # per-round walls + fetched: the last rounds carry almost no
+        # URLs, so their wall ≈ the per-round constant overhead — a
+        # direct read of the serial fraction at this scale
+        "round_walls": [round(m["wall_s"], 2) for m in out.metrics],
+        "round_fetched": [int(m["fetched"]) for m in out.metrics],
+        "round_phases": [[m.get("t_dag_s"), m.get("t_a_s"), m.get("t_b_s")]
+                         for m in out.metrics],
         "n_hosts": len(hosts), "seeds": n_seeds,
     }))
 
