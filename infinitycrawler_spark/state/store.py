@@ -65,16 +65,33 @@ class SnapshotStore:
         if os.path.exists(vdir):
             shutil.rmtree(vdir)
         os.makedirs(tmp)
+        # the 5-6 table writes are independent Spark actions on distinct
+        # paths — submit them concurrently so the commit's wall time is
+        # the largest table, not the sum (py4j job submission is
+        # thread-safe; the manifest still lands last, so atomicity is
+        # unchanged)
+        writes = []
         table_paths = {}
         for name, df in tables.items():
-            path = os.path.join(tmp, f"{name}.parquet")
-            df.write.mode("overwrite").parquet(path)
+            writes.append((df, os.path.join(tmp, f"{name}.parquet")))
             table_paths[name] = f"{name}.parquet"
         delta_paths = {}
         for name, df in (deltas or {}).items():
-            path = os.path.join(tmp, f"{name}_delta.parquet")
-            df.write.mode("overwrite").parquet(path)
+            writes.append((df, os.path.join(tmp, f"{name}_delta.parquet")))
             delta_paths[name] = f"{name}_delta.parquet"
+        if len(writes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(writes))) as ex:
+                futures = [
+                    ex.submit(lambda d=df, p=path:
+                              d.write.mode("overwrite").parquet(p))
+                    for df, path in writes
+                ]
+                for fut in futures:
+                    fut.result()  # propagate the first failure
+        else:
+            for df, path in writes:
+                df.write.mode("overwrite").parquet(path)
         blob_paths = {}
         for name, data in (blobs or {}).items():
             with open(os.path.join(tmp, f"{name}.bin"), "wb") as f:
