@@ -1,0 +1,112 @@
+"""Deterministic raw audio/video containers + codecs (numpy only).
+
+Same design as functions/images.py: no media libraries exist in this
+container, so the *raw* formats (PCM s16, raw RGB frames) decode for
+real — their byte layouts need no codec — while compressed formats
+(mp3/aac/mp4/h264) stay behind ``NotImplementedError`` in the
+operators. In deployment the decode dispatch swaps to ffmpeg/librosa;
+every schema, batch shape, and feature definition stays identical.
+
+- ``pcm16``: magic ``AUP1`` + sample_rate:u32 + channels:u16 +
+  interleaved s16le samples;
+- ``rawv``: magic ``VID1`` + w:u32 + h:u32 + fps_milli:u32 +
+  n_frames:u32 + n_frames × (h·w·3) raw RGB bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from infinitycrawler_spark.functions.hashing import rng_for
+
+MAGIC_AUDIO = b"AUP1"
+MAGIC_VIDEO = b"VID1"
+
+
+# ------------------------------------------------------------- audio
+def encode_audio(samples: np.ndarray, sample_rate: int,
+                 channels: int = 1) -> bytes:
+    """samples: int16 array, interleaved if channels > 1."""
+    return (MAGIC_AUDIO + struct.pack("<IH", sample_rate, channels)
+            + samples.astype("<i2").tobytes())
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int, int]:
+    """→ (int16 samples interleaved, sample_rate, channels)."""
+    if data is None or len(data) < 10:
+        raise ValueError("audio payload too short")
+    if data[:4] != MAGIC_AUDIO:
+        raise ValueError("unknown audio magic")
+    sample_rate, channels = struct.unpack("<IH", data[4:10])
+    if sample_rate == 0 or channels == 0:
+        raise ValueError("invalid audio header")
+    body = data[10:]
+    if len(body) % (2 * channels):
+        raise ValueError("audio payload size mismatch")
+    return np.frombuffer(body, dtype="<i2"), sample_rate, channels
+
+
+def make_audio(audio_id: str, seconds: float = 0.25,
+               sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Deterministic test signal: a seeded sine + noise mix whose
+    frequency/amplitude derive from the id."""
+    rng = rng_for("audio", audio_id)
+    n = int(seconds * sample_rate)
+    freq = 100.0 + float(rng.integers(0, 1800))
+    amp = 0.2 + 0.6 * float(rng.random())
+    t = np.arange(n) / sample_rate
+    x = amp * np.sin(2 * np.pi * freq * t)
+    x = x + 0.01 * rng.standard_normal(n)
+    mono = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+    if channels > 1:
+        interleaved = np.repeat(mono, channels)
+    else:
+        interleaved = mono
+    return encode_audio(interleaved, sample_rate, channels)
+
+
+# ------------------------------------------------------------- video
+def encode_video(frames: np.ndarray, fps: float) -> bytes:
+    """frames: n×h×w×3 uint8."""
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    return (MAGIC_VIDEO
+            + struct.pack("<IIII", w, h, int(round(fps * 1000)), n)
+            + frames.astype(np.uint8).tobytes())
+
+
+def decode_video_header(data: bytes) -> tuple[int, int, float, int]:
+    """→ (w, h, fps, n_frames) without touching the frame bytes."""
+    if data is None or len(data) < 20:
+        raise ValueError("video payload too short")
+    if data[:4] != MAGIC_VIDEO:
+        raise ValueError("unknown video magic")
+    w, h, fps_milli, n = struct.unpack("<IIII", data[4:20])
+    if w == 0 or h == 0 or fps_milli == 0:
+        raise ValueError("invalid video header")
+    if len(data) - 20 != n * h * w * 3:
+        raise ValueError("video payload size mismatch")
+    return w, h, fps_milli / 1000.0, n
+
+
+def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
+    """→ h×w×3 uint8 for frame ``idx`` (zero-copy slice + reshape)."""
+    w, h, _, n = decode_video_header(data)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    frame_sz = h * w * 3
+    off = 20 + idx * frame_sz
+    return np.frombuffer(data[off:off + frame_sz],
+                         dtype=np.uint8).reshape(h, w, 3)
+
+
+def make_video(video_id: str, n_frames: int = 8, w: int = 16, h: int = 12,
+               fps: float = 4.0) -> bytes:
+    """Deterministic test clip: per-frame seeded noise with a moving
+    bright bar (so frame features differ predictably by index)."""
+    rng = rng_for("video", video_id)
+    frames = rng.integers(0, 128, size=(n_frames, h, w, 3), dtype=np.uint8)
+    for i in range(n_frames):
+        frames[i, :, i % w, :] = 255
+    return encode_video(frames, fps)

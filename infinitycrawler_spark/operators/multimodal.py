@@ -1,11 +1,13 @@
 """Multimodal column operators — image/audio/video as opaque binary
 columns with typed metadata, processed in Arrow-vectorized passes.
 
-The Spark-side plumbing (schemas, batch shapes, partition sizing) is
-real and tested; decoders for formats needing external libraries (JPEG,
-MP3, MP4 — none are installed in this container) are stubbed behind
-``NotImplementedError`` with the deterministic synthetic codec
-(functions/images.py) as the working reference implementation.
+Raw containers decode for real without any media library: synthetic
+images (functions/images.py), PCM s16 audio and raw-RGB-frame video
+(functions/media.py). Formats that need external codecs (JPEG, MP3,
+MP4 — none installed in this container) surface as typed error rows
+(or ``NotImplementedError`` at the image decode dispatch); deployment
+swaps the decode dispatch for PIL/ffmpeg with identical schemas,
+batch shapes, and feature definitions.
 
 At 100 TB: these are narrow ``mapInPandas`` passes — no shuffle — so
 throughput scales with executors; `spark.sql.files.maxPartitionBytes`
@@ -138,17 +140,126 @@ def image_resize(df: DataFrame, target_w: int, target_h: int,
     return cols.mapInPandas(run, schema=RESIZED)
 
 
-def audio_features(df: DataFrame, **_kw) -> DataFrame:
-    """STUB — audio decode needs ffmpeg/librosa (absent here). The
-    deployment implementation mirrors image_features: mapInPandas over
-    (audio_id, bytes, fmt) → (duration_s, sample_rate, loudness, mfcc)."""
-    raise NotImplementedError(
-        "audio decode requires ffmpeg/librosa; not available in this container")
+AUDIO_FEATURES = StructType([
+    StructField("audio_id", StringType(), False),
+    StructField("ok", StringType(), False),          # ok | error:<reason>
+    StructField("sample_rate", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("duration_s", DoubleType(), True),
+    StructField("rms", DoubleType(), True),          # full-scale = 1.0
+    StructField("zero_crossing_rate", DoubleType(), True),
+    StructField("peak", DoubleType(), True),
+])
+
+VIDEO_FRAMES = StructType([
+    StructField("video_id", StringType(), False),
+    StructField("ok", StringType(), False),
+    StructField("frame_idx", IntegerType(), True),
+    StructField("ts_s", DoubleType(), True),
+    StructField("bytes", BinaryType(), True),        # rgb8-raw image
+    StructField("w", IntegerType(), True),
+    StructField("h", IntegerType(), True),
+])
 
 
-def video_frame_sample(df: DataFrame, every_n_seconds: float = 1.0, **_kw) -> DataFrame:
-    """STUB — video demux needs ffmpeg (absent here). Deployment shape:
-    mapInPandas emitting one row per sampled frame (video_id, ts_s,
-    frame_bytes), partitioned by bytes to bound executor memory."""
-    raise NotImplementedError(
-        "video demux requires ffmpeg; not available in this container")
+def audio_features(df: DataFrame, id_col: str = "audio_id",
+                   bytes_col: str = "bytes",
+                   fmt_col: str = "fmt") -> DataFrame:
+    """Decode + feature-extract per clip: duration, RMS loudness,
+    zero-crossing rate, peak — over the raw ``pcm16`` container
+    (functions/media.py), which needs no codec. Compressed formats
+    (mp3/aac/flac) yield ``error:unsupported`` rows here; in deployment
+    the decode dispatch swaps to ffmpeg/librosa with identical schema
+    and batch shape. Narrow mapInPandas — no shuffle."""
+    from infinitycrawler_spark.functions.media import decode_audio
+
+    cols = df.select(id_col, bytes_col, fmt_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for audio_id, data, fmt in zip(pdf[id_col], pdf[bytes_col],
+                                           pdf[fmt_col]):
+                err = None
+                if fmt not in (None, "pcm16"):
+                    err = f"error:unsupported:{fmt}"
+                else:
+                    try:
+                        samples, sr, ch = decode_audio(bytes(data))
+                    except Exception:  # noqa: BLE001 — corrupt is data
+                        err = "error:corrupt"
+                if err is not None:
+                    out.append({"audio_id": audio_id, "ok": err,
+                                "sample_rate": None, "channels": None,
+                                "duration_s": None, "rms": None,
+                                "zero_crossing_rate": None, "peak": None})
+                    continue
+                x = samples.astype(np.float64) / 32768.0
+                n_frames = len(samples) // ch
+                mono = (x.reshape(-1, ch).mean(axis=1)
+                        if ch > 1 else x)
+                zc = (float(np.count_nonzero(
+                    np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    / max(len(mono) - 1, 1))
+                out.append({
+                    "audio_id": audio_id, "ok": "ok",
+                    "sample_rate": sr, "channels": ch,
+                    "duration_s": n_frames / sr,
+                    "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                    "zero_crossing_rate": zc,
+                    "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+                })
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=AUDIO_FEATURES)
+
+
+def video_frame_sample(df: DataFrame, every_n_seconds: float = 1.0,
+                       id_col: str = "video_id", bytes_col: str = "bytes",
+                       fmt_col: str = "fmt") -> DataFrame:
+    """One output row per sampled frame (every ``every_n_seconds`` of
+    clip time, always including frame 0), frames re-encoded in the
+    synthetic lossless image format so image_features/image_resize
+    compose downstream. Real over the raw ``rawv`` container
+    (functions/media.py); mp4/h264 yield ``error:unsupported`` rows
+    (ffmpeg absent here — deployment swaps the decode dispatch).
+    Narrow mapInPandas; size partitions by bytes, not rows — video
+    payloads are the heaviest column in the table."""
+    from infinitycrawler_spark.functions.media import (
+        decode_video_frame,
+        decode_video_header,
+    )
+
+    cols = df.select(id_col, bytes_col, fmt_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for video_id, data, fmt in zip(pdf[id_col], pdf[bytes_col],
+                                           pdf[fmt_col]):
+                if fmt not in (None, "rawv"):
+                    out.append({"video_id": video_id,
+                                "ok": f"error:unsupported:{fmt}",
+                                "frame_idx": None, "ts_s": None,
+                                "bytes": None, "w": None, "h": None})
+                    continue
+                try:
+                    raw = bytes(data)
+                    w, h, fps, n = decode_video_header(raw)
+                except Exception:  # noqa: BLE001
+                    out.append({"video_id": video_id, "ok": "error:corrupt",
+                                "frame_idx": None, "ts_s": None,
+                                "bytes": None, "w": None, "h": None})
+                    continue
+                step = max(int(round(every_n_seconds * fps)), 1)
+                for idx in range(0, n, step):
+                    frame = decode_video_frame(raw, idx)
+                    out.append({
+                        "video_id": video_id, "ok": "ok",
+                        "frame_idx": idx, "ts_s": idx / fps,
+                        "bytes": encode_image(frame, "rgb8-raw"),
+                        "w": w, "h": h,
+                    })
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=VIDEO_FRAMES)
