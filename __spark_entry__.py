@@ -463,6 +463,44 @@ def q_crawl_frontier_expand(spark, sf):
             .select("url", "partkey"))
 
 
+def q_multimodal_audio(spark, sf):
+    """Audio features over pcm16 clips synthesized deterministically
+    from the documents table's doc ids (operators/multimodal.py;
+    functions/media.py — raw PCM needs no codec). Binary decode is not
+    SQL-expressible, so this is a rows-only check (no oracle entry)."""
+    from infinitycrawler_spark.functions.media import make_audio
+    from infinitycrawler_spark.operators.multimodal import audio_features
+
+    ids = [r.doc_id for r in _t(spark, sf, "documents")
+           .select("doc_id").orderBy("doc_id").limit(40).collect()]
+    # bounded 40-row synthesis; payloads built driver-side only because
+    # the corpus is fixed-size — production reads a binary column
+    clips = spark.createDataFrame(
+        [(d, make_audio(d, seconds=0.1), "pcm16") for d in ids],
+        "audio_id string, bytes binary, fmt string")
+    return audio_features(clips).orderBy("audio_id")
+
+
+def q_multimodal_video(spark, sf):
+    """Frame sampling over rawv clips synthesized from doc ids — one
+    row per sampled frame, frames re-encoded as lossless images.
+    Rows-only check (no oracle): binary demux is not SQL-expressible."""
+    from infinitycrawler_spark.functions.media import make_video
+    from infinitycrawler_spark.operators.multimodal import video_frame_sample
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ids = [r.doc_id for r in _t(spark, sf, "documents")
+           .select("doc_id").orderBy("doc_id").limit(20).collect()]
+    clips = spark.createDataFrame(
+        [(d, make_video(d, n_frames=6, w=16, h=12, fps=2.0), "rawv")
+         for d in ids],
+        "video_id string, bytes binary, fmt string")
+    frames = video_frame_sample(clips, every_n_seconds=1.0)
+    return (frames.select("video_id", "ok", "frame_idx", "ts_s", "w", "h",
+                          F.length("bytes").alias("frame_bytes"))
+            .orderBy("video_id", "frame_idx"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return crawl_fixpoint(spark, "/root/testdata/sf0.001")
@@ -503,6 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_json": q_events_json,
+        # multimodal (binary decode — not SQL-expressible; rows-only)
+        "multimodal_audio_features": q_multimodal_audio,
+        "multimodal_video_frames": q_multimodal_video,
         # crawl
         "crawl_frontier_expand": q_crawl_frontier_expand,
         # iterative engine loop; oracle = closed-form 3-level BFS CTE
