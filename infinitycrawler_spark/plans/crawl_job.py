@@ -793,11 +793,18 @@ class CrawlJob:
                 # B: one fused stats pass over the (now cached) attempts
                 #    + frontier + new-seen: metrics, counts, max seq, next
                 #    hot hosts — also materializes the frontier checkpoint
+                #    The lineage delta rides along: materializing it now
+                #    (it is tiny) lets the round's caches be freed
+                #    immediately below instead of pinning the whole
+                #    round's lineage until the next parquet commit.
+                mat = (seen_next, states2, host_state)
+                if self.collect_lineage:
+                    mat = (*mat, lin)
                 (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq,
                  self._next_hot_hosts, n_seen_add, _) = self._round_stats(
                     attempt_rows, frontier_next,
                     seen_add if self.use_bloom else None, hot_thr,
-                    materialize=(seen_next, states2, host_state))
+                    materialize=mat)
                 seq_base = max(seq_base,
                                int(max_seq) if max_seq is not None else seq_base)
                 t_b = time.time() - rt0 - t_dag - t_a
@@ -831,11 +838,21 @@ class CrawlJob:
             })
             self._next_frontier_count = int(n_next)
 
-            # old state tables stay cached until the next parquet commit —
-            # the new persisted tables still reference them lazily
-            self._deferred_unpersist.extend(
-                [attempt_rows, parsed, red, round_results, adm_results,
-                 seen_add, states1, frontier, seen, states])
+            round_caches = [attempt_rows, parsed, red, round_results,
+                            adm_results, seen_add, states1,
+                            frontier, seen, states]
+            if precise:
+                # precise mode defers: the lineage delta is still lazy,
+                # so the round's caches must survive until the commit
+                self._deferred_unpersist.extend(round_caches)
+            else:
+                # scale mode materialized every consumer (delta, state
+                # checkpoints, lineage) in this round's two actions —
+                # free the caches NOW so executor memory and the
+                # CacheManager (whose plan-normalization lookups scale
+                # with entry count, pure driver time) stay O(1) per round
+                for df in round_caches:
+                    df.unpersist()
             if (round_no + 1) % self.snapshot_every == 0:
                 for d in self._pending_deltas:
                     delta = d.unionByName(delta)
