@@ -466,10 +466,14 @@ def q_crawl_frontier_expand(spark, sf):
 def q_multimodal_audio(spark, sf):
     """Audio features over pcm16 clips synthesized deterministically
     from the documents table's doc ids (operators/multimodal.py;
-    functions/media.py — raw PCM needs no codec). Binary decode is not
-    SQL-expressible, so this is a rows-only check (no oracle entry)."""
+    functions/media.py — raw PCM needs no codec); checked against the
+    pinned VALUES-literal oracle AUDIO_ORACLE."""
     from infinitycrawler_spark.functions.media import make_audio
     from infinitycrawler_spark.operators.multimodal import audio_features
+
+    # oracle: binary decode is not SQL-expressible, but the clips are
+    # deterministic in the doc ids — expected rows are pinned as a
+    # VALUES literal (AUDIO_ORACLE below) for full rows+schema+hash.
 
     ids = [r.doc_id for r in _t(spark, sf, "documents")
            .select("doc_id").orderBy("doc_id").limit(40).collect()]
@@ -484,7 +488,7 @@ def q_multimodal_audio(spark, sf):
 def q_multimodal_video(spark, sf):
     """Frame sampling over rawv clips synthesized from doc ids — one
     row per sampled frame, frames re-encoded as lossless images.
-    Rows-only check (no oracle): binary demux is not SQL-expressible."""
+    Checked against the pinned VALUES-literal oracle VIDEO_ORACLE."""
     from infinitycrawler_spark.functions.media import make_video
     from infinitycrawler_spark.operators.multimodal import video_frame_sample
     from pyspark.sql import functions as F  # noqa: F811
@@ -499,6 +503,125 @@ def q_multimodal_video(spark, sf):
     return (frames.select("video_id", "ok", "frame_idx", "ts_s", "w", "h",
                           F.length("bytes").alias("frame_bytes"))
             .orderBy("video_id", "frame_idx"))
+
+
+# Pinned multimodal oracles (tools/gen_multimodal_oracle.py): the
+# clips are deterministic functions of the sf0.01 doc ids, so the
+# expected feature rows are precomputed once and pinned as DuckDB
+# VALUES literals — a feature-math regression now fails rows+schema+
+# hash instead of sliding through a rows-only count. Regenerate with
+# `python tools/gen_multimodal_oracle.py` after intentional changes.
+AUDIO_ORACLE = """
+SELECT CAST(audio_id AS VARCHAR) AS audio_id, CAST(ok AS VARCHAR) AS ok, CAST(sample_rate AS INT) AS sample_rate, CAST(channels AS INT) AS channels, CAST(duration_s AS DOUBLE) AS duration_s, CAST(rms AS DOUBLE) AS rms, CAST(zero_crossing_rate AS DOUBLE) AS zero_crossing_rate, CAST(peak AS DOUBLE) AS peak
+FROM (VALUES
+  ('0', 'ok', 8000, 1, 0.1, 0.3913574771485436, 0.2565707133917397, 0.579681396484375),
+  ('1', 'ok', 8000, 1, 0.1, 0.1569679492928154, 0.05006257822277847, 0.246856689453125),
+  ('10', 'ok', 8000, 1, 0.1, 0.4302362067821273, 0.19524405506883605, 0.646820068359375),
+  ('11', 'ok', 8000, 1, 0.1, 0.2974400577865127, 0.0851063829787234, 0.4425048828125),
+  ('12', 'ok', 8000, 1, 0.1, 0.31013253862117746, 0.14267834793491865, 0.46417236328125),
+  ('13', 'ok', 8000, 1, 0.1, 0.41727215855802, 0.3879849812265332, 0.608245849609375),
+  ('14', 'ok', 8000, 1, 0.1, 0.5382493201153816, 0.1439299123904881, 0.783355712890625),
+  ('15', 'ok', 8000, 1, 0.1, 0.5282226310229864, 0.06758448060075094, 0.773345947265625),
+  ('16', 'ok', 8000, 1, 0.1, 0.16950636258169785, 0.2528160200250313, 0.262451171875),
+  ('17', 'ok', 8000, 1, 0.1, 0.34543773324593985, 0.3904881101376721, 0.5069580078125),
+  ('18', 'ok', 8000, 1, 0.1, 0.43768455573886866, 0.14893617021276595, 0.642059326171875),
+  ('19', 'ok', 8000, 1, 0.1, 0.32142050537108985, 0.20525657071339173, 0.487884521484375),
+  ('2', 'ok', 8000, 1, 0.1, 0.43971997455518147, 0.45431789737171463, 0.64483642578125),
+  ('20', 'ok', 8000, 1, 0.1, 0.46390588815896167, 0.41051314142678347, 0.6806640625),
+  ('21', 'ok', 8000, 1, 0.1, 0.42670469866561567, 0.4655819774718398, 0.629150390625),
+  ('22', 'ok', 8000, 1, 0.1, 0.2014378420678948, 0.08010012515644556, 0.304779052734375),
+  ('23', 'ok', 8000, 1, 0.1, 0.21962421573576305, 0.05506883604505632, 0.334716796875),
+  ('24', 'ok', 8000, 1, 0.1, 0.3376091143631545, 0.4230287859824781, 0.502899169921875),
+  ('25', 'ok', 8000, 1, 0.1, 0.27074865432910467, 0.37797246558197745, 0.404022216796875),
+  ('26', 'ok', 8000, 1, 0.1, 0.3016641492311533, 0.1902377972465582, 0.449066162109375),
+  ('27', 'ok', 8000, 1, 0.1, 0.5451536059312468, 0.392991239048811, 0.8028564453125),
+  ('28', 'ok', 8000, 1, 0.1, 0.24130079524027584, 0.24405506883604505, 0.364593505859375),
+  ('29', 'ok', 8000, 1, 0.1, 0.47954761877035, 0.06132665832290363, 0.70086669921875),
+  ('3', 'ok', 8000, 1, 0.1, 0.26909645632582824, 0.24030037546933666, 0.401824951171875),
+  ('30', 'ok', 8000, 1, 0.1, 0.33447080227240583, 0.056320400500625784, 0.487823486328125),
+  ('31', 'ok', 8000, 1, 0.1, 0.22650341491301776, 0.4380475594493116, 0.346954345703125),
+  ('32', 'ok', 8000, 1, 0.1, 0.43272905860013666, 0.44430538172715894, 0.638885498046875),
+  ('33', 'ok', 8000, 1, 0.1, 0.14360224013668438, 0.03879849812265332, 0.222930908203125),
+  ('34', 'ok', 8000, 1, 0.1, 0.3263403933008005, 0.4755944931163955, 0.48541259765625),
+  ('35', 'ok', 8000, 1, 0.1, 0.3250333491312661, 0.1639549436795995, 0.478668212890625),
+  ('36', 'ok', 8000, 1, 0.1, 0.44331911601783386, 0.19148936170212766, 0.65325927734375),
+  ('37', 'ok', 8000, 1, 0.1, 0.438733324869454, 0.37296620775969963, 0.636383056640625),
+  ('38', 'ok', 8000, 1, 0.1, 0.3583816953595795, 0.11889862327909888, 0.53216552734375),
+  ('39', 'ok', 8000, 1, 0.1, 0.21371494073934538, 0.4568210262828536, 0.326629638671875),
+  ('4', 'ok', 8000, 1, 0.1, 0.48581459434111945, 0.3742177722152691, 0.71337890625),
+  ('5', 'ok', 8000, 1, 0.1, 0.359821637016943, 0.32540675844806005, 0.5283203125),
+  ('6', 'ok', 8000, 1, 0.1, 0.36235534781461975, 0.23529411764705882, 0.533172607421875),
+  ('7', 'ok', 8000, 1, 0.1, 0.5069965556884235, 0.35168961201501875, 0.7423095703125),
+  ('8', 'ok', 8000, 1, 0.1, 0.2746331424893732, 0.41802252816020025, 0.409576416015625),
+  ('9', 'ok', 8000, 1, 0.1, 0.2873749823257477, 0.409261576971214, 0.437957763671875)
+) AS t(audio_id, ok, sample_rate, channels, duration_s, rms, zero_crossing_rate, peak)
+"""
+
+VIDEO_ORACLE = """
+SELECT CAST(video_id AS VARCHAR) AS video_id, CAST(ok AS VARCHAR) AS ok, CAST(frame_idx AS INT) AS frame_idx, CAST(ts_s AS DOUBLE) AS ts_s, CAST(w AS INT) AS w, CAST(h AS INT) AS h, CAST(frame_bytes AS INT) AS frame_bytes
+FROM (VALUES
+  ('0', 'ok', 0, 0.0, 16, 12, 588),
+  ('0', 'ok', 2, 1.0, 16, 12, 588),
+  ('0', 'ok', 4, 2.0, 16, 12, 588),
+  ('1', 'ok', 0, 0.0, 16, 12, 588),
+  ('1', 'ok', 2, 1.0, 16, 12, 588),
+  ('1', 'ok', 4, 2.0, 16, 12, 588),
+  ('10', 'ok', 0, 0.0, 16, 12, 588),
+  ('10', 'ok', 2, 1.0, 16, 12, 588),
+  ('10', 'ok', 4, 2.0, 16, 12, 588),
+  ('11', 'ok', 0, 0.0, 16, 12, 588),
+  ('11', 'ok', 2, 1.0, 16, 12, 588),
+  ('11', 'ok', 4, 2.0, 16, 12, 588),
+  ('12', 'ok', 0, 0.0, 16, 12, 588),
+  ('12', 'ok', 2, 1.0, 16, 12, 588),
+  ('12', 'ok', 4, 2.0, 16, 12, 588),
+  ('13', 'ok', 0, 0.0, 16, 12, 588),
+  ('13', 'ok', 2, 1.0, 16, 12, 588),
+  ('13', 'ok', 4, 2.0, 16, 12, 588),
+  ('14', 'ok', 0, 0.0, 16, 12, 588),
+  ('14', 'ok', 2, 1.0, 16, 12, 588),
+  ('14', 'ok', 4, 2.0, 16, 12, 588),
+  ('15', 'ok', 0, 0.0, 16, 12, 588),
+  ('15', 'ok', 2, 1.0, 16, 12, 588),
+  ('15', 'ok', 4, 2.0, 16, 12, 588),
+  ('16', 'ok', 0, 0.0, 16, 12, 588),
+  ('16', 'ok', 2, 1.0, 16, 12, 588),
+  ('16', 'ok', 4, 2.0, 16, 12, 588),
+  ('17', 'ok', 0, 0.0, 16, 12, 588),
+  ('17', 'ok', 2, 1.0, 16, 12, 588),
+  ('17', 'ok', 4, 2.0, 16, 12, 588),
+  ('18', 'ok', 0, 0.0, 16, 12, 588),
+  ('18', 'ok', 2, 1.0, 16, 12, 588),
+  ('18', 'ok', 4, 2.0, 16, 12, 588),
+  ('19', 'ok', 0, 0.0, 16, 12, 588),
+  ('19', 'ok', 2, 1.0, 16, 12, 588),
+  ('19', 'ok', 4, 2.0, 16, 12, 588),
+  ('2', 'ok', 0, 0.0, 16, 12, 588),
+  ('2', 'ok', 2, 1.0, 16, 12, 588),
+  ('2', 'ok', 4, 2.0, 16, 12, 588),
+  ('3', 'ok', 0, 0.0, 16, 12, 588),
+  ('3', 'ok', 2, 1.0, 16, 12, 588),
+  ('3', 'ok', 4, 2.0, 16, 12, 588),
+  ('4', 'ok', 0, 0.0, 16, 12, 588),
+  ('4', 'ok', 2, 1.0, 16, 12, 588),
+  ('4', 'ok', 4, 2.0, 16, 12, 588),
+  ('5', 'ok', 0, 0.0, 16, 12, 588),
+  ('5', 'ok', 2, 1.0, 16, 12, 588),
+  ('5', 'ok', 4, 2.0, 16, 12, 588),
+  ('6', 'ok', 0, 0.0, 16, 12, 588),
+  ('6', 'ok', 2, 1.0, 16, 12, 588),
+  ('6', 'ok', 4, 2.0, 16, 12, 588),
+  ('7', 'ok', 0, 0.0, 16, 12, 588),
+  ('7', 'ok', 2, 1.0, 16, 12, 588),
+  ('7', 'ok', 4, 2.0, 16, 12, 588),
+  ('8', 'ok', 0, 0.0, 16, 12, 588),
+  ('8', 'ok', 2, 1.0, 16, 12, 588),
+  ('8', 'ok', 4, 2.0, 16, 12, 588),
+  ('9', 'ok', 0, 0.0, 16, 12, 588),
+  ('9', 'ok', 2, 1.0, 16, 12, 588),
+  ('9', 'ok', 4, 2.0, 16, 12, 588)
+) AS t(video_id, ok, frame_idx, ts_s, w, h, frame_bytes)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -541,7 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_json": q_events_json,
-        # multimodal (binary decode — not SQL-expressible; rows-only)
+        # multimodal (binary decode — oracled via pinned VALUES literals)
         "multimodal_audio_features": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
         # crawl
@@ -899,6 +1022,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type
         """,
+        "multimodal_audio_features": AUDIO_ORACLE,
+        "multimodal_video_frames": VIDEO_ORACLE,
         "crawl_frontier_expand": f"""
             SELECT url, partkey FROM (
                 SELECT DISTINCT 'http://parts.shop/part/' || l_partkey AS url,

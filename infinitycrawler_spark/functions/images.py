@@ -113,15 +113,17 @@ def phash64(pixels: np.ndarray) -> int:
     """8×8 average-hash over the grayscale block means (deterministic,
     no DCT needed for a synthetic corpus; stable under the rgb8-q
     quantization)."""
-    # int32 channel sum then /3.0 — bit-identical to float64 mean
-    # (integer sums are exact in float64), half the memory traffic
-    gray = pixels.sum(axis=2, dtype=np.int32) / 3.0
+    # Gray stays the INTEGER channel sum (no /3): the > threshold below
+    # is scale-invariant, and integer-valued grays make every block sum
+    # exact in float64 regardless of summation order — so the fast path
+    # and the general path are bit-identical by construction (a /3.0
+    # gray would round, and reshape-mean vs slice-mean could then flip
+    # a near-tie bit).
+    gray = pixels.sum(axis=2, dtype=np.int32)
     h, w = gray.shape
     if h % 8 == 0 and w % 8 == 0:
         # uniform blocks: one reshape-mean, no Python loop. linspace
-        # boundaries are exactly the uniform ones when 8 | h and 8 | w,
-        # and float64 means of integer-valued grays are exact either
-        # way → bit-identical to the general path below.
+        # boundaries are exactly the uniform ones when 8 | h and 8 | w.
         blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
     else:
         ys = np.linspace(0, h, 9).astype(int)

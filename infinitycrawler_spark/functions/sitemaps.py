@@ -38,17 +38,37 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1].lower()
 
 
+def parse_sitemap_text(text: str) -> SitemapFile:
+    """Plain-text sitemap (sitemaps.org txt format; SitemapTools parses
+    these alongside XML): one URL per line, blank lines ignored, lines
+    that are not absolute http(s) URLs skipped, de-duplicated in file
+    order like the XML path."""
+    out = SitemapFile()
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or not line.lower().startswith(("http://", "https://")):
+            continue
+        if line in seen:
+            continue
+        seen.add(line)
+        out.urls.append(line)
+    return out
+
+
 def parse_sitemap_xml(text: str | bytes) -> SitemapFile:
     """Parse a sitemap or sitemap-index document. Tolerant of any (or
-    no) namespace; malformed XML → empty result (the reference's
-    SitemapTools swallows unparseable sitemaps)."""
+    no) namespace; non-XML bodies fall back to the plain-text sitemap
+    format (one URL per line — the reference's SitemapTools understands
+    both), and anything else → empty result (SitemapTools swallows
+    unparseable sitemaps)."""
     if isinstance(text, (bytes, bytearray)):
         text = text.decode("utf-8", errors="replace")
     out = SitemapFile()
     try:
         root = ElementTree.fromstring(text)
     except ElementTree.ParseError:
-        return out
+        return parse_sitemap_text(text)
     root_kind = _local(root.tag)
     seen: set[str] = set()
     for child in root:

@@ -150,9 +150,14 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     """Near-duplicate same-label embedding pairs by cosine ≥ threshold,
     *blocked by LSH bucket* (similarity.lsh_bucket) so a hot label can
     never make candidate generation all-pairs: only vectors sharing a
-    bucket (near-identical vectors always do — every hyperplane bit
-    agrees) are scored. The self-join key is (bucket, label); hot
-    buckets are handled by AQE skew-join → (label, n_pairs)."""
+    bucket are scored. APPROXIMATE (recall < 1): exact duplicates always
+    share a bucket, but a pair at cos ≈ threshold can straddle a
+    hyperplane (one near-tie dot-product sign flip) and be missed —
+    single-probe LSH trades that recall for never going all-pairs.
+    Raise recall with fewer planes or multi-probe (query neighboring
+    bucket codes at Hamming distance 1), at candidate-set cost. The
+    self-join key is (bucket, label); hot buckets are handled by AQE
+    skew-join → (label, n_pairs)."""
     from infinitycrawler_spark.operators.similarity import lsh_bucket
 
     e = embeddings.select(

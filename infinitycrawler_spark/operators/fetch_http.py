@@ -85,24 +85,37 @@ def http_fetch_round(
     delay_ms = options.delay_between_request_start_ms
     timeout_s = options.request_timeout_ms / 1000.0
 
+    throttle_at = options.timeout_before_throttle_ms
+    step = options.throttling_request_backoff_ms
+    min_successes = options.min_sequential_successes_to_minimise_throttling
+
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import requests
 
         pdf = pdf.sort_values("enqueue_seq").reset_index(drop=True)
         host = pdf["host"].iloc[0]
-        req_base = (int(pdf["request_count"].iloc[0])
-                    if pd.notna(pdf["request_count"].iloc[0]) else 0)
+        # carry the host's AIMD scheduler state across rounds, exactly
+        # like the synthetic scheduler (politeness.py; the reference's
+        # throttle state lives for the processor's lifetime,
+        # DefaultRequestProcessor.cs:44-45) — so mixing the HTTP and
+        # synthetic processors across rounds keeps one coherent state
+        backoff_ms = (int(pdf["backoff_ms"].iloc[0])
+                      if pd.notna(pdf["backoff_ms"].iloc[0]) else 0)
+        streak = (int(pdf["successes"].iloc[0])
+                  if pd.notna(pdf["successes"].iloc[0]) else 0)
         session = requests.Session()
         rows = []
         t0 = time.monotonic()
         last_start = None
         n = 0
         for row in pdf.itertuples():
-            # politeness: space request STARTS by the merged delay
+            # politeness: space request STARTS by the merged delay plus
+            # the current AIMD backoff (DefaultRequestProcessor.cs:58-66)
             now = time.monotonic()
             wait_s = 0.0
             if last_start is not None:
-                wait_s = max(0.0, last_start + delay_ms / 1000.0 - now)
+                wait_s = max(
+                    0.0, last_start + (delay_ms + backoff_ms) / 1000.0 - now)
                 if wait_s > 0:
                     time.sleep(wait_s)
             start = time.monotonic()
@@ -111,6 +124,20 @@ def http_fetch_round(
              error) = _fetch_one(session, row.url, timeout_s, user_agent)
             elapsed_ms = (time.monotonic() - start) * 1000.0
             n += 1
+            # AIMD throttle — the reference's rule is elapsed-time-based
+            # (DefaultRequestProcessor.cs:112-130), identical to
+            # politeness.py: slow response (incl. timeouts/transport
+            # errors, which burn the full wait) → backoff += step, streak
+            # reset; fast response while throttled → streak++, at
+            # min_successes → backoff -= step (floor 0), streak reset
+            if throttle_at > 0 and elapsed_ms > throttle_at:
+                streak = 0
+                backoff_ms += step
+            elif backoff_ms > 0:
+                streak += 1
+                if streak >= min_successes:
+                    backoff_ms = max(0, backoff_ms - step)
+                    streak = 0
             rows.append({
                 "url": row.url, "host": host,
                 "enqueue_seq": int(row.enqueue_seq), "depth": int(row.depth),
@@ -129,7 +156,7 @@ def http_fetch_round(
             "status_code": None, "redirect_to": None, "error": None,
             "start_delay_ms": None, "request_start_ms": None,
             "elapsed_ms": None, "is_state": True,
-            "backoff_ms": 0, "successes": n,
+            "backoff_ms": backoff_ms, "successes": streak,
             "request_count": n,  # delta; split_attempts re-adds the base
             "clock_ms": (time.monotonic() - t0) * 1000.0,
             "body": None, "content_type": None, "charset": None,
@@ -141,7 +168,6 @@ def http_fetch_round(
         out["backoff_ms"] = out["backoff_ms"].astype("Int64")
         out["successes"] = out["successes"].astype("Int64")
         out["request_count"] = out["request_count"].astype("Int64")
-        _ = req_base  # base stays in host_state; trailer carries the delta
         return out
 
     return joined.groupBy("host").applyInPandas(fetch_group, schema=HTTP_ATTEMPT)

@@ -505,6 +505,17 @@ class CrawlJob:
                 seq_base += len(rows)
                 if self.collect_enqueue_log:
                     enqueue_log.extend(r[0] for r in rows)
+                # scale mode precomputed round 0's frontier stats BEFORE
+                # the extras joined the frontier: patch the count (an
+                # empty-seed crawl would otherwise break the loop with
+                # the extras committed but never crawled) and drop the
+                # precomputed hot set — round 0 recomputes it, so hosts
+                # made hot by the extras still get salted
+                if self._next_frontier_count is not None:
+                    self._next_frontier_count += len(rows)
+                    if len(rows) > settings.skew_salt_threshold > 0:
+                        self._next_hot_hosts = None
+                        self._next_frontier_count = None
             self._commit(0 - 1, frontier, seen, states, host_state,
                          results0, round_no - 1, seq_base, results_total,
                          enqueue_log, initial=True)

@@ -81,12 +81,23 @@ class SnapshotStore:
             delta_paths[name] = f"{name}_delta.parquet"
         if len(writes) > 1:
             from concurrent.futures import ThreadPoolExecutor
+
+            # job-group properties are thread-local (pinned py4j threads):
+            # re-attach the caller's group inside each writer thread so
+            # cancelJobGroup can interrupt an in-flight commit too
+            sc = writes[0][0].sparkSession.sparkContext
+            group = sc.getLocalProperty("spark.jobGroup.id")
+            desc = sc.getLocalProperty("spark.job.description")
+            interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+
+            def _write(d, p):
+                if group is not None:
+                    d.sparkSession.sparkContext.setJobGroup(
+                        group, desc or "", interrupt == "true")
+                d.write.mode("overwrite").parquet(p)
+
             with ThreadPoolExecutor(max_workers=min(4, len(writes))) as ex:
-                futures = [
-                    ex.submit(lambda d=df, p=path:
-                              d.write.mode("overwrite").parquet(p))
-                    for df, path in writes
-                ]
+                futures = [ex.submit(_write, df, path) for df, path in writes]
                 for fut in futures:
                     fut.result()  # propagate the first failure
         else:

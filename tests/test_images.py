@@ -64,3 +64,33 @@ def test_phash_stable_under_quantization():
     px = expected_pixels("img-3", 64, 48)
     q, _ = decode_image(encode_image(px, "rgb8-q"))
     assert phash64(px) == phash64(q)
+
+
+def test_phash_fast_path_matches_general_path():
+    """The 8|h ∧ 8|w reshape-mean fast path must be bit-identical to the
+    linspace slice-mean general path. Holds by construction because gray
+    stays an integer channel sum (block sums exact in float64 under any
+    summation order); this pins it, including near-tie blocks."""
+
+    def general_path(pixels):
+        gray = pixels.sum(axis=2, dtype=np.int32)
+        h, w = gray.shape
+        ys = np.linspace(0, h, 9).astype(int)
+        xs = np.linspace(0, w, 9).astype(int)
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                    xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+        bits = (blocks > blocks.mean()).flatten()
+        value = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        return value - (1 << 64) if value >= (1 << 63) else value
+
+    for shape in [(8, 8), (16, 8), (32, 24), (64, 48), (40, 16)]:
+        h, w = shape
+        for seed in range(6):
+            px = expected_pixels(f"branch-{h}x{w}-{seed}", w, h)
+            assert phash64(px) == general_path(px), (shape, seed)
+    # adversarial near-tie: constant image (every block == the mean)
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert phash64(flat) == general_path(flat)

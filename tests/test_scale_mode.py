@@ -29,3 +29,24 @@ def test_scale_mode_matches_golden(spark, tmp_path):
     assert {r.url for r in out.seen.collect()} == g.seen
     # fused stats action must still report sane per-round metrics
     assert sum(m["fetched"] for m in out.metrics) >= len(g.results)
+
+
+def test_scale_mode_extras_crawled_when_seed_blocked(spark, tmp_path):
+    """Scale mode precomputes round-0 frontier stats BEFORE
+    extra_queue_urls join the frontier; with an all-blocking robots the
+    admitted frontier is empty and a stale count of 0 would end the
+    crawl with the extras committed but never fetched (ADVICE r2)."""
+    fx = basic_site()
+    settings = CrawlSettings(
+        request_processor_options=RequestProcessorOptions().no_delay())
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fx),
+        robots_map={"localhost": parse_robots_txt("User-agent: *\nDisallow: /\n")},
+        sitemap_urls=[], seed_uri=fx.seed_uri,
+        settings=settings, store_root=str(tmp_path / "state"),
+        collect_enqueue_log=False, exact_order=False,
+        snapshot_every=100, eager_checkpoint=False)
+    out = job.run(extra_queue_urls=["http://localhost/index.html"])
+    by = {r.url: r.status for r in out.results.collect()}
+    # the extra URL bypassed admission and MUST have been fetched
+    assert by["http://localhost/index.html"] == "Crawled"

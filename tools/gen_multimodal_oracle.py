@@ -1,0 +1,72 @@
+"""Generate pinned DuckDB VALUES-literal oracles for the two multimodal
+queries (audio features / video frame sampling).
+
+The clips are deterministic functions of the doc ids
+(functions/media.py::make_audio / make_video), so the expected feature
+rows at the driver's correctness scale (sf0.01) are computable once and
+pinned as a literal oracle — a feature-math regression then fails the
+rows+schema+hash check instead of sliding through a rows-only count
+(VERDICT r2 §missing 3). Floats are emitted with repr() (shortest
+round-trip), which DuckDB parses back to the identical double.
+
+Usage: python tools/gen_multimodal_oracle.py [sf_dir]
+Prints two SQL blocks to paste into __spark_entry__.py.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def _lit(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def values_sql(rows, columns, casts):
+    body = ",\n  ".join(
+        "(" + ", ".join(_lit(getattr(r, c)) for c in columns) + ")"
+        for r in rows)
+    sel = ", ".join(
+        f"CAST({c} AS {casts[c]}) AS {c}" if c in casts else c
+        for c in columns)
+    cols = ", ".join(columns)
+    return (f"SELECT {sel}\nFROM (VALUES\n  {body}\n) AS t({cols})")
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from infinitycrawler_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("gen-multimodal-oracle")
+    audio = e.q_multimodal_audio(spark, sf).collect()
+    video = e.q_multimodal_video(spark, sf).collect()
+
+    a_cols = ["audio_id", "ok", "sample_rate", "channels", "duration_s",
+              "rms", "zero_crossing_rate", "peak"]
+    a_casts = {"audio_id": "VARCHAR", "ok": "VARCHAR",
+               "sample_rate": "INT", "channels": "INT",
+               "duration_s": "DOUBLE", "rms": "DOUBLE",
+               "zero_crossing_rate": "DOUBLE", "peak": "DOUBLE"}
+    v_cols = ["video_id", "ok", "frame_idx", "ts_s", "w", "h", "frame_bytes"]
+    v_casts = {"video_id": "VARCHAR", "ok": "VARCHAR", "frame_idx": "INT",
+               "ts_s": "DOUBLE", "w": "INT", "h": "INT",
+               "frame_bytes": "INT"}
+
+    print("AUDIO_ORACLE = \"\"\"\n" + values_sql(audio, a_cols, a_casts)
+          + "\n\"\"\"\n")
+    print("VIDEO_ORACLE = \"\"\"\n" + values_sql(video, v_cols, v_casts)
+          + "\n\"\"\"\n")
+
+
+if __name__ == "__main__":
+    main()
