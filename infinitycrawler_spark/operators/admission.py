@@ -51,6 +51,9 @@ class AdmissionOutput:
     seen_add: DataFrame       # SEEN columns
     n_enqueued: int
     n_admitted: int
+    #: the internal candidates cache — callers unpersist it once the
+    #: round's outputs are materialized (keeps CacheManager O(1)/round)
+    cached: DataFrame | None = None
 
 
 def _robots_allowed_udf(robots_map: dict[str, RobotsFile], base_host: str,
@@ -143,6 +146,74 @@ def _budget_fold(flags: list[tuple[bool, bool]], base: int, max_pages: int) -> l
     return admitted
 
 
+def _budget_admit_distributed(cands: DataFrame, base: int,
+                              max_pages: int) -> DataFrame:
+    """The budget fold without collecting candidates to the driver —
+    the scale path (driver traffic: one ≤#partitions-row collect plus
+    two scalars, independent of candidate count).
+
+    The sequential fold (CrawlRunner.cs:154-162, ``==`` not ``>=``) has
+    a closed form over the candidate order sk=(parent_seq, child_pos).
+    Let c_i = 1 unless the candidate will success-short-circuit (shorts
+    are admitted without consuming budget), and
+    pc_i = base + Σ_{j<i} c_j (the running total while everything is
+    still admitted). Then:
+
+    - k = first non-skip candidate with pc_k == max_pages — the first
+      rejection (if pc jumps past max while only skip_budget redirects
+      stream by, the ``==`` check never fires and nothing is rejected);
+    - from k the true total freezes at max_pages: non-skips are
+      rejected (contributing nothing), skips are admitted;
+    - m = first skip with c=1 at/after k — it pushes the total past
+      max_pages, after which ``==`` can never fire again and everything
+      is admitted (the reference's overshoot bug, replicated).
+
+    Rejected ⟺ non-skip ∧ k ≤ sk < m. The prefix sums use the classic
+    two-phase scheme: range-partition by sk, per-partition local prefix
+    windows, cross-partition offsets from the tiny per-partition-total
+    collect (range partitions are ordered by key)."""
+    key = [F.col("parent_seq"), F.col("child_pos")]
+    n_parts = max(cands.sparkSession.sparkContext.defaultParallelism, 4)
+    d = (cands.select(
+            "parent_seq", "child_pos", "skip_budget",
+            (~(F.col("has_state") & F.col("eff_success")))
+            .cast("long").alias("c"))
+         .repartitionByRange(n_parts, *key)
+         .withColumn("_pid", F.spark_partition_id())
+         .cache())
+    totals = d.groupBy("_pid").agg(F.sum("c").alias("t")).collect()
+    offs, run = {}, 0
+    for r in sorted(totals, key=lambda r: r._pid):
+        offs[int(r._pid)] = run
+        run += int(r.t)
+    if not offs:
+        return cands  # no candidates at all
+    off_map = F.create_map(
+        *[F.lit(v) for kv in sorted(offs.items()) for v in kv])
+    w_local = (Window.partitionBy("_pid").orderBy(*key)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "pc", F.lit(base) + off_map[F.col("_pid")]
+        + F.coalesce(F.sum("c").over(w_local), F.lit(0)))
+    k = (d.filter((~F.col("skip_budget")) & (F.col("pc") == max_pages))
+         .agg(F.min(F.struct(*key)).alias("k")).first()["k"])
+    if k is None:
+        d.unpersist()
+        return cands  # pc never equals max at a checked candidate
+    k_lit = F.struct(F.lit(int(k[0])).cast("long").alias("parent_seq"),
+                     F.lit(int(k[1])).cast("int").alias("child_pos"))
+    m = (d.filter(F.col("skip_budget") & (F.col("c") == 1)
+                  & (F.struct(*key) >= k_lit))
+         .agg(F.min(F.struct(*key)).alias("m")).first()["m"])
+    d.unpersist()
+    rejected = (~F.col("skip_budget")) & (F.struct(*key) >= k_lit)
+    if m is not None:
+        m_lit = F.struct(F.lit(int(m[0])).cast("long").alias("parent_seq"),
+                         F.lit(int(m[1])).cast("int").alias("child_pos"))
+        rejected = rejected & (F.struct(*key) < m_lit)
+    return cands.filter(~rejected)
+
+
 def _empty_results(spark, like: DataFrame | None = None):
     from infinitycrawler_spark import schemas
     return spark.createDataFrame([], schema=schemas.RESULTS)
@@ -220,10 +291,14 @@ def admit(
              .filter(F.col("_rn") == 1).drop("_rn"))
     cands = others.unionByName(links)
 
-    # 3. effective crawl state
+    # 3. effective crawl state (incl. the CrawlRequest / redirect-hop
+    # logs the result rows carry — CrawledUri.cs:16-17)
+    from infinitycrawler_spark.schemas import ATT_LOG_DDL, HOP_LOG_DDL
+
     st = states.selectExpr("url", "n_attempts as st_attempts",
                            "redirect_chain as st_chain",
-                           "last_success as st_success")
+                           "last_success as st_success",
+                           "att_log as st_att", "hop_logs as st_hops")
     cands = cands.join(st, "url", "left").selectExpr(
         "*",
         "st_attempts is not null as has_state",
@@ -231,11 +306,19 @@ def admit(
         "coalesce(st_chain, moved_chain, cast(array() as array<string>))"
         " as eff_chain",
         "coalesce(st_success, false) as eff_success",
+        f"coalesce(st_att, cast(array() as {ATT_LOG_DDL})) as eff_att",
+        f"coalesce(st_hops, cast(array() as {HOP_LOG_DDL})) as eff_hops",
     )
 
-    # 4. budget fold (reference-exact, driver-side, budget-bounded)
+    # 4. budget fold. exact_order (reference replay / tests) keeps the
+    # literal driver-side fold; scale mode uses the distributed closed
+    # form — no candidate-count-proportional driver traffic, so a user
+    # can set max_pages=10^8 over a huge frontier without a per-round
+    # driver collect (VERDICT r2 §wrong 1).
     max_pages = settings.max_number_of_pages_to_crawl
-    if max_pages > 0:
+    if max_pages > 0 and not exact_order:
+        cands = _budget_admit_distributed(cands, budget_base, max_pages)
+    elif max_pages > 0:
         ordered = (cands
                    .select("parent_seq", "child_pos", "skip_budget",
                            (F.col("has_state") & F.col("eff_success")).alias("short"))
@@ -301,7 +384,10 @@ def admit(
     # ~1-3 ms and these 13-column literal projections rebuild every
     # round — string expressions cut the driver DAG-construction time
     # ~4x (measured; plans are identical)
-    def _res(df, status: str, attempts: str, chain: str) -> DataFrame:
+    def _res(df, status: str, attempts: str, chain: str,
+             att_log: str, hops: str) -> DataFrame:
+        # admission results never carry Content (the reference emits
+        # them without a CrawledContent — CrawlRunner.cs:178-213)
         return df.selectExpr(
             "url", "host", f"'{status}' as status",
             f"{attempts} as n_attempts", f"{chain} as redirect_chain",
@@ -313,16 +399,29 @@ def admit(
             "cast(null as double) as psnr_db",
             "cast(null as boolean) as phash_match",
             "cast(null as boolean) as caption_ok",
+            "cast(null as string) as content_type",
+            "cast(null as string) as charset",
+            "cast(null as string) as content_encoding",
+            "cast(null as array<string>) as page_robot_rules",
+            "cast(null as string) as raw_content",
+            "cast(null as array<struct<location:string,text:string,"
+            "title:string,rel:string>>) as links_detail",
+            f"{att_log} as attempts", f"{hops} as redirect_hops",
         )
 
     res_retries = _res(routed.filter("route = 'max_retries'"),
-                       "MaxRetries", "eff_attempts", "eff_chain")
-    # MaxRedirects result omits attempts (CrawlRunner.cs:190-195)
+                       "MaxRetries", "eff_attempts", "eff_chain",
+                       "eff_att", "eff_hops")
+    # MaxRedirects result omits attempts (CrawlRunner.cs:190-195 emits
+    # RedirectChain but no Requests)
     res_redirects = _res(routed.filter("route = 'max_redirects'"),
-                         "MaxRedirects", "0", "eff_chain")
+                         "MaxRedirects", "0", "eff_chain",
+                         f"cast(array() as {ATT_LOG_DDL})", "eff_hops")
     # RobotsBlocked at admission carries neither (CrawlRunner.cs:208-212)
     res_blocked = _res(gated.filter("not robots_ok"), "RobotsBlocked",
-                       "0", "cast(array() as array<string>)")
+                       "0", "cast(array() as array<string>)",
+                       f"cast(array() as {ATT_LOG_DDL})",
+                       f"cast(array() as {HOP_LOG_DDL})")
     results = res_retries.unionByName(res_redirects).unionByName(res_blocked)
 
     # 7. enqueue: deterministic sequence numbers
@@ -347,4 +446,5 @@ def admit(
         seen_add=seen_add,
         n_enqueued=n_enqueued,
         n_admitted=n_admitted,
+        cached=cands,
     )

@@ -43,19 +43,20 @@ HTTP_ATTEMPT = StructType([
     StructField("body", BinaryType(), True),
     StructField("content_type", StringType(), True),
     StructField("charset", StringType(), True),
+    StructField("content_encoding", StringType(), True),
     StructField("x_robots_tag", ArrayType(StringType()), True),
 ])
 
 
 def _fetch_one(session, url: str, timeout_s: float, user_agent: str):
     """One real request. → (status, redirect_to, body, content_type,
-    charset, x_robots_tag, error)."""
+    charset, content_encoding, x_robots_tag, error)."""
     try:
         resp = session.get(
             url, timeout=timeout_s, allow_redirects=False,
             headers={"User-Agent": user_agent})
     except Exception as exc:  # transport error / timeout → retryable
-        return None, None, None, None, None, None, type(exc).__name__
+        return None, None, None, None, None, None, None, type(exc).__name__
     ctype = resp.headers.get("Content-Type", "")
     charset = None
     main_type = ctype
@@ -64,8 +65,10 @@ def _fetch_one(session, url: str, timeout_s: float, user_agent: str):
         if "charset=" in rest:
             charset = rest.split("charset=", 1)[1].strip().strip('"')
     xrt = resp.headers.get("X-Robots-Tag")
+    # ContentEncoding joined like DefaultContentProcessor.cs:21
+    cenc = resp.headers.get("Content-Encoding")
     return (resp.status_code, resp.headers.get("Location"),
-            resp.content, main_type.strip() or None, charset,
+            resp.content, main_type.strip() or None, charset, cenc,
             [xrt] if xrt else [], None)
 
 
@@ -120,7 +123,7 @@ def http_fetch_round(
                     time.sleep(wait_s)
             start = time.monotonic()
             last_start = start
-            (status, redir, body, ctype, charset, xrt,
+            (status, redir, body, ctype, charset, cenc, xrt,
              error) = _fetch_one(session, row.url, timeout_s, user_agent)
             elapsed_ms = (time.monotonic() - start) * 1000.0
             n += 1
@@ -148,7 +151,7 @@ def http_fetch_round(
                 "backoff_ms": None, "successes": None,
                 "request_count": None, "clock_ms": None,
                 "body": body, "content_type": ctype, "charset": charset,
-                "x_robots_tag": xrt,
+                "content_encoding": cenc, "x_robots_tag": xrt,
             })
         session.close()
         rows.append({
@@ -160,7 +163,7 @@ def http_fetch_round(
             "request_count": n,  # delta; split_attempts re-adds the base
             "clock_ms": (time.monotonic() - t0) * 1000.0,
             "body": None, "content_type": None, "charset": None,
-            "x_robots_tag": None,
+            "content_encoding": None, "x_robots_tag": None,
         })
         out = pd.DataFrame(rows)
         out["status_code"] = out["status_code"].astype("Int32")
@@ -202,10 +205,11 @@ def http_content_processor(success_attempts, pages_content, settings):
         F.lit(None).cast(
             "array<struct<href:string,text:string,title:string,rel:string>>"
         ).alias("links"),
-        "content_type", "charset", "body")
+        "content_type", "charset", "content_encoding", "body")
     if settings.validate_payload:
         # no synthetic image payload on real responses
         settings = _dc_replace(settings, validate_payload=False)
     return parse_round(
-        success_attempts.drop("x_robots_tag", "content_type", "charset"),
+        success_attempts.drop("x_robots_tag", "content_type", "charset",
+                              "content_encoding"),
         derived_pages, settings)

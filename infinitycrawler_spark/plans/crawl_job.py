@@ -52,6 +52,18 @@ class CrawlCancelled(RuntimeError):
 
 
 @dataclass
+class _LoopCtx:
+    """Mutable bookkeeping shared between the loop drivers and the
+    round builder (the precise path updates counts mid-build)."""
+
+    round_no: int
+    seq_base: int
+    results_total: int
+    enqueue_log: list[str]
+    metrics: list[dict]
+
+
+@dataclass
 class CrawlOutput:
     results: DataFrame
     seen: DataFrame
@@ -168,7 +180,9 @@ class CrawlJob:
             needed = list(dict.fromkeys(
                 [*schemas.PAGES_META_COLS,
                  *content_cols(self.settings.validate_payload,
-                               has_body=self._has_body)]))
+                               has_body=self._has_body,
+                               has_encoding="content_encoding"
+                               in self.pages.columns)]))
             self.pages = (self.pages.select(*needed)
                           .repartition(self._n_parts, "url").persist())
             # materialize the partitioned pages NOW: ingest partitioning
@@ -412,6 +426,12 @@ class CrawlJob:
                 ) from exc
             raise
         finally:
+            # a cancelled/failed run must not leave the commit thread
+            # writing a snapshot behind the caller's back
+            try:
+                self._join_commits()
+            except Exception:
+                pass  # the loop's own error (if any) is already in flight
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
             spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
@@ -474,7 +494,13 @@ class CrawlJob:
                 # pre-loop counts (admit's two, the bloom seen count, the
                 # results count) and also precomputes round 0's frontier
                 # size + hot-host set, so the loop skips its initial
-                # _frontier_stats action too.
+                # _frontier_stats action too. The frontier/seen
+                # checkpoints materialize inside the same pass, so the
+                # loop starts from in-memory state and the initial
+                # snapshot write can happen off the critical path.
+                np0 = self._n_parts
+                frontier = frontier.coalesce(np0).localCheckpoint(eager=False)
+                seen = seen.coalesce(np0).localCheckpoint(eager=False)
                 hot_thr0 = settings.skew_salt_threshold
                 (_, _, _, _, n_next0, max_seq0, hot0, n_seen0,
                  extra0) = self._round_stats(
@@ -516,376 +542,45 @@ class CrawlJob:
                     if len(rows) > settings.skew_salt_threshold > 0:
                         self._next_hot_hosts = None
                         self._next_frontier_count = None
-            self._commit(0 - 1, frontier, seen, states, host_state,
-                         results0, round_no - 1, seq_base, results_total,
-                         enqueue_log, initial=True)
-            frontier, seen, states, host_state = self._reload()
+            if precise:
+                self._commit(0 - 1, frontier, seen, states, host_state,
+                             results0, round_no - 1, seq_base, results_total,
+                             enqueue_log, initial=True)
+                frontier, seen, states, host_state = self._reload()
+            else:
+                # scale mode: the loop runs from the checkpointed
+                # in-memory state (materialized by the fused stats pass
+                # above) — the initial snapshot is pure durability and
+                # its parquet write overlaps round 0's executor work
+                self._commit_async(
+                    0 - 1, frontier, seen, states, host_state,
+                    results0, round_no - 1, seq_base, results_total,
+                    list(enqueue_log), initial=True,
+                    unpersist_after=(results0,))
 
         # ---------------- fixpoint rounds ----------------
         hot_thr = (0 if self.exact_order else settings.skew_salt_threshold)
-        while True:
-            if self._next_frontier_count is not None:
-                n_frontier = self._next_frontier_count
-            else:
-                n_frontier, _, self._next_hot_hosts = self._frontier_stats(
-                    frontier, hot_thr)
-            if n_frontier == 0:
-                break
-            if max_rounds is not None and round_no >= max_rounds:
-                break
-            if self._cancel_evt.is_set():
-                break
-            rt0 = time.time()
+        # serialized replay needs the per-round carried-count bookkeeping
+        # of the sequential driver regardless of ordering flags
+        precise = (settings.max_number_of_pages_to_crawl > 0
+                   or self.exact_order
+                   or settings.replay_mode == "serialized")
+        ctx = _LoopCtx(round_no=round_no, seq_base=seq_base,
+                       results_total=results_total,
+                       enqueue_log=enqueue_log, metrics=metrics)
+        if precise:
+            frontier, seen, states, host_state = self._precise_loop(
+                ctx, frontier, seen, states, host_state, opts, pages_meta,
+                hot_thr, max_rounds)
+        else:
+            frontier, seen, states, host_state = self._scale_loop(
+                ctx, frontier, seen, states, host_state, opts, pages_meta,
+                hot_thr, max_rounds)
+        round_no = ctx.round_no
+        seq_base = ctx.seq_base
+        results_total = ctx.results_total
 
-            if settings.replay_mode == "serialized":
-                first = frontier.orderBy("enqueue_seq").limit(1)
-                due = first
-                # anti-join on enqueue_seq (unique), not url: the reference
-                # can enqueue one target twice via two same-round redirects,
-                # and only the dequeued copy must leave the frontier
-                carried = frontier.join(
-                    due.select("enqueue_seq"), "enqueue_seq", "left_anti")
-                carried_count = n_frontier - 1
-            else:
-                due, carried = frontier, self._empty(schemas.FRONTIER)
-                carried_count = 0
-
-            trace = os.environ.get("SPARK_GRAFT_TRACE")
-            _tp = [("start", time.time())]
-
-            def _t(tag):
-                if trace:
-                    _tp.append((tag, time.time()))
-
-            attempts = (self.request_processor or fetch_round)(
-                due, pages_meta, host_state, opts,
-                # salting reorders within a host → scale mode only
-                skew_salt_threshold=hot_thr,
-                skew_salt_factor=settings.skew_salt_factor,
-                # hot set comes from the previous round's frontier stats
-                # (no extra count+collect job per round)
-                hot_hosts=self._next_hot_hosts)
-            attempt_rows, host_state_new = split_attempts(attempts, host_state)
-            attempt_rows = attempt_rows.cache()
-            _t("fetch")
-
-            # host scheduler state: replace updated hosts
-            host_state = (host_state.join(host_state_new.select("host"),
-                                          "host", "left_anti")
-                          .unionByName(host_state_new))
-
-            # ---- crawl-state update (UriCrawlStates per-attempt append)
-            st_updates = (attempt_rows
-                          .join(states, "url", "left")
-                          .selectExpr(
-                              "url",
-                              "coalesce(n_attempts, 0) + 1 as n_attempts",
-                              "coalesce(redirect_chain,"
-                              " cast(array() as array<string>))"
-                              " as redirect_chain",
-                              "coalesce(status_code between 200 and 299,"
-                              " false) as last_success"))
-            _t("st_updates")
-            # cached: five consumers (states2, moved, st_info×2, redirect
-            # chains) would otherwise re-run the join per materialization
-            states1 = (states.join(attempt_rows.select("url"), "url", "left_anti")
-                       .unionByName(st_updates)).cache()
-
-            # ---- routing (CrawlRunner.cs:235-291)
-            # string predicates/projections throughout the round body:
-            # each py4j Column construction costs ~1-3 ms of driver time
-            # and this DAG is rebuilt every round — selectExpr/filter
-            # strings cut measured per-round DAG-construction time ~3x
-            # with identical plans
-            codes = ", ".join(str(c) for c in REDIRECT_CODES)
-            err = F.col("error").isNotNull()
-            retrying_5xx = (~err) & F.col("status_code").between(500, 599)
-            redirects = attempt_rows.filter(
-                f"error is null and status_code in ({codes})").withColumn(
-                "target", _resolve_redirect_udf(F.col("url"), F.col("redirect_to")))
-            successes = attempt_rows.filter(
-                "error is null and status_code between 200 and 299")
-            retries = attempt_rows.filter(
-                "error is not null or status_code between 500 and 599")
-            terminals = attempt_rows.filter(
-                f"error is null and not status_code in ({codes})"
-                " and not status_code between 200 and 299"
-                " and not status_code between 500 and 599")
-
-            # redirect state moves: drop source states, insert first move
-            # per target where the target has no state (TryAdd semantics)
-            red = redirects.cache()
-            w_target = Window.partitionBy("target").orderBy("enqueue_seq")
-            moved = (red.join(states1.selectExpr(
-                                  "url", "redirect_chain as src_chain"),
-                              "url", "left")
-                     .withColumn("_rn", F.row_number().over(w_target))
-                     .filter("_rn = 1")
-                     .selectExpr(
-                         "target as url",
-                         "0 as n_attempts",
-                         "concat(coalesce(src_chain,"
-                         " cast(array() as array<string>)), array(url))"
-                         " as redirect_chain",
-                         "false as last_success"))
-            states2 = states1.join(red.select(F.col("url")), "url", "left_anti")
-            states2 = states2.unionByName(
-                moved.join(states2.select("url"), "url", "left_anti"))
-            _t("states2")
-
-            # ---- parse + this round's direct results
-            parsed = (self.content_processor or parse_round)(
-                successes, self.pages, settings).cache()
-            _t("parse")
-            st_info = states1.selectExpr(
-                "url", "n_attempts as r_attempts",
-                "redirect_chain as r_chain")
-
-            res_terminal = (terminals.join(st_info, "url", "left").selectExpr(
-                "url", "host", "'Crawled' as status",
-                "coalesce(r_attempts, 1) as n_attempts",
-                "coalesce(r_chain, cast(array() as array<string>))"
-                " as redirect_chain",
-                "status_code as last_status_code",
-                "cast(array() as array<string>) as links",
-                "cast(null as string) as canonical",
-                f"{int(round_no)} as round",
-                "cast(null as boolean) as image_ok",
-                "cast(null as double) as psnr_db",
-                "cast(null as boolean) as phash_match",
-                "cast(null as boolean) as caption_ok"))
-
-            parsed_st = parsed.join(st_info, "url", "left")
-            res_parsed = parsed_st.selectExpr(
-                "url", "host",
-                "case when can_index then 'Crawled'"
-                " else 'RobotsBlocked' end as status",
-                "coalesce(r_attempts, 1) as n_attempts",
-                "coalesce(r_chain, cast(array() as array<string>))"
-                " as redirect_chain",
-                "last_status_code",
-                "case when can_index then transform(links,"
-                f" l -> regexp_replace(l.location, '{_FRAG}', ''))"
-                " else cast(array() as array<string>) end as links",
-                "canonical",
-                f"{int(round_no)} as round",
-                "image_ok", "psnr_db", "phash_match", "caption_ok")
-            _t("results")
-
-            # precise mode (budget active or exact ordering): maintain the
-            # running totals the budget fold needs, at the cost of extra
-            # actions. Scale mode defers all counting to one pass.
-            precise = settings.max_number_of_pages_to_crawl > 0 or self.exact_order
-            round_results = res_terminal.unionByName(res_parsed)
-            if precise:
-                round_results = round_results.cache()
-                results_total += round_results.count()
-
-            # ---- candidates for the next round
-            link_cands = (parsed.filter("can_index and can_follow")
-                          .select("enqueue_seq", "depth",
-                                  F.posexplode("links").alias("pos", "link"))
-                          .filter("link.rel is null"
-                                  " or lower(link.rel) != 'nofollow'")
-                          .selectExpr(
-                              f"regexp_replace(link.location, '{_FRAG}', '')"
-                              " as url",
-                              "lower(parse_url(link.location, 'HOST'))"
-                              " as host",
-                              "'link' as kind",
-                              "enqueue_seq as parent_seq",
-                              "pos as child_pos",
-                              "depth + 1 as depth",
-                              "false as skip_budget",
-                              "cast(null as array<string>) as moved_chain"))
-
-            retry_cands = retries.selectExpr(
-                "url", "host", "'retry' as kind",
-                "enqueue_seq as parent_seq", "0 as child_pos", "depth",
-                "false as skip_budget",
-                "cast(null as array<string>) as moved_chain")
-
-            redirect_cands = (red.join(states1.selectExpr(
-                                  "url", "redirect_chain as src_chain"),
-                                  "url", "left")
-                              .selectExpr(
-                                  "target as url",
-                                  "lower(parse_url(target, 'HOST')) as host",
-                                  "'redirect' as kind",
-                                  "enqueue_seq as parent_seq",
-                                  "0 as child_pos", "depth",
-                                  "true as skip_budget",
-                                  "concat(coalesce(src_chain,"
-                                  " cast(array() as array<string>)),"
-                                  " array(url)) as moved_chain"))
-
-            candidates = link_cands.unionByName(retry_cands).unionByName(redirect_cands)
-            _t("cands")
-
-            adm = admit(candidates, seen, states2, self.robots_map, settings,
-                        self.base_host,
-                        budget_base=results_total + carried_count,
-                        seq_base=seq_base, round_no=round_no,
-                        per_host_robots=self.per_host_robots,
-                        exact_order=self.exact_order,
-                        lazy_counts=not precise,
-                        bloom_store=(self._bloom_store
-                                     if self.use_bloom
-                                     and self._n_seen >= self.bloom_min_seen
-                                     else None),
-                        robots_rules=self.robots_rules,
-                        scope_hosts=self._scope_hosts)
-            seen_add = adm.seen_add.cache()
-            _t("admit")
-
-            adm_results = adm.results
-            if precise:
-                adm_results = adm_results.cache()
-                results_total += adm_results.count()
-                seq_base += adm.n_enqueued
-                if self.collect_enqueue_log and adm.n_enqueued:
-                    enqueue_log.extend(
-                        r.url for r in adm.frontier_add.orderBy("enqueue_seq").collect())
-
-            # localCheckpoint truncates the logical plan NOW (the round
-            # loop would otherwise grow it exponentially — even planning/
-            # explain blows up). The coalesce is load-bearing too: unions
-            # concatenate partition lists, so without it partition counts
-            # (and task counts, and task-closure sizes) grow every round
-            # — measured 1056 tasks on the final delta write.
-            # scale mode keeps every checkpoint lazy; the two fused stats
-            # actions below materialize them (eager would cost one job per
-            # table — 5 extra driver round-trips per crawl round)
-            eager = self.eager_checkpoint and precise
-            np_ = self._n_parts
-            frontier_next = (carried.unionByName(adm.frontier_add)
-                             .coalesce(np_).localCheckpoint(eager=eager))
-            seen_next = (seen.unionByName(seen_add)
-                         .coalesce(np_).localCheckpoint(eager=eager))
-            states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
-            host_state = host_state.coalesce(np_).localCheckpoint(eager=eager)
-            delta = (round_results.unionByName(adm_results)
-                     .coalesce(np_).localCheckpoint(eager=eager))
-            _t("checkpoints")
-            if self.collect_lineage:
-                lin = (attempt_rows.groupBy("host")
-                       .agg(F.count("*").alias("fetched"))
-                       .join(parsed.groupBy("host")
-                             .agg(F.sum(F.size("links")).alias("links_emitted")),
-                             "host", "full")
-                       .join(adm.frontier_add.groupBy("host")
-                             .agg(F.count("*").alias("enqueued")),
-                             "host", "full")
-                       .select(F.lit(round_no).alias("round"), "host",
-                               F.coalesce("fetched", F.lit(0)).alias("fetched"),
-                               F.coalesce("links_emitted", F.lit(0)).alias("links_emitted"),
-                               F.coalesce("enqueued", F.lit(0)).alias("enqueued"))
-                       .coalesce(1).localCheckpoint(eager=False))
-                self._pending_lineage.append(lin)
-
-            if precise:
-                # exact per-attempt metrics (replay/tests): one agg pass
-                n_fetched, wait_ms, n_err, n_retry = attempt_rows.agg(
-                    F.count("*"), F.sum("start_delay_ms"),
-                    F.sum(err.cast("long")),
-                    F.sum((err | retrying_5xx).cast("long"))).first()
-                n_delta = delta.count()
-                n_next, max_seq, _ = self._frontier_stats(frontier_next, 0)
-                n_seen_add = seen_add.count() if self.use_bloom else 0
-            else:
-                # ---- scale mode: ≤3 actions/round total ----
-                # A: delta.count() materializes the whole heavy chain
-                #    (fetch UDF → states → parse → route → results) into
-                #    the caches
-                t_dag = time.time() - rt0  # driver-side DAG construction
-                n_delta = delta.count()
-                t_a = time.time() - rt0 - t_dag
-                results_total += n_delta
-                # B: one fused stats pass over the (now cached) attempts
-                #    + frontier + new-seen: metrics, counts, max seq, next
-                #    hot hosts — also materializes the frontier checkpoint
-                #    The lineage delta rides along: materializing it now
-                #    (it is tiny) lets the round's caches be freed
-                #    immediately below instead of pinning the whole
-                #    round's lineage until the next parquet commit.
-                mat = (seen_next, states2, host_state)
-                if self.collect_lineage:
-                    mat = (*mat, lin)
-                (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq,
-                 self._next_hot_hosts, n_seen_add, _) = self._round_stats(
-                    attempt_rows, frontier_next,
-                    seen_add if self.use_bloom else None, hot_thr,
-                    materialize=mat)
-                seq_base = max(seq_base,
-                               int(max_seq) if max_seq is not None else seq_base)
-                t_b = time.time() - rt0 - t_dag - t_a
-                if trace:
-                    import sys
-                    spans = [(tag, round(t - _tp[i][1], 2))
-                             for i, (tag, t) in enumerate(_tp[1:])]
-                    print(f"TRACE round={round_no} {spans}", file=sys.stderr)
-            # C (only above the Bloom activation threshold): fold the
-            # round's new seen keys into the sharded blobs — distributed
-            # read-OR-write, no driver keys; crossing the threshold does
-            # a one-time distributed rebuild from the full seen table
-            if self.use_bloom:
-                prev_seen = self._n_seen
-                self._n_seen = prev_seen + n_seen_add
-                if prev_seen >= self.bloom_min_seen:
-                    self._bloom_store.update(seen_add)
-                elif self._n_seen >= self.bloom_min_seen:
-                    self._bloom_store.rebuild(seen_next)
-            metrics.append({
-                "round": round_no, "frontier_size": n_frontier,
-                "fetched": int(n_fetched), "errors": int(n_err or 0),
-                "results_emitted": int(n_delta),
-                "new_urls": int(n_next) - carried_count,
-                "politeness_wait_ms": float(wait_ms or 0.0),
-                "retries": int(n_retry or 0),
-                "wall_s": time.time() - rt0,
-                "pages_per_s": int(n_fetched) / max(time.time() - rt0, 1e-9),
-                **({"t_dag_s": round(t_dag, 2), "t_a_s": round(t_a, 2),
-                    "t_b_s": round(t_b, 2)} if not precise else {}),
-            })
-            self._next_frontier_count = int(n_next)
-
-            round_caches = [attempt_rows, parsed, red, round_results,
-                            adm_results, seen_add, states1,
-                            frontier, seen, states]
-            if precise:
-                # precise mode defers: the lineage delta is still lazy,
-                # so the round's caches must survive until the commit
-                self._deferred_unpersist.extend(round_caches)
-            else:
-                # scale mode materialized every consumer (delta, state
-                # checkpoints, lineage) in this round's two actions —
-                # free the caches NOW so executor memory and the
-                # CacheManager (whose plan-normalization lookups scale
-                # with entry count, pure driver time) stay O(1) per round
-                for df in round_caches:
-                    df.unpersist()
-            if (round_no + 1) % self.snapshot_every == 0:
-                for d in self._pending_deltas:
-                    delta = d.unionByName(delta)
-                self._deferred_unpersist.extend(self._pending_deltas)
-                self._pending_deltas = []
-                self._commit(round_no, frontier_next, seen_next, states2,
-                             host_state, delta, round_no, seq_base,
-                             results_total, enqueue_log,
-                             lineage_delta=self._flush_lineage())
-                self._deferred_unpersist.extend(
-                    [frontier_next, seen_next, states2, host_state, delta])
-                frontier, seen, states, host_state = self._reload()
-                for df in self._deferred_unpersist:
-                    df.unpersist()
-                self._deferred_unpersist = []
-            else:
-                # persisted (lazy cache); lineage is truncated at the next
-                # parquet commit, resume point = last committed snapshot
-                frontier, seen, states = frontier_next, seen_next, states2
-                self._pending_deltas.append(delta)
-            round_no += 1
-
+        self._join_commits()
         if self._pending_deltas:
             # flush rounds executed since the last parquet snapshot
             delta = self._pending_deltas[0]
@@ -904,6 +599,604 @@ class CrawlJob:
             enqueue_log=enqueue_log, rounds=round_no,
             elapsed_s=time.time() - t0, store_root=self.store_root,
             lineage=lineage)
+
+    # -------------------------------------------------- round building
+    def _build_round(self, round_no, seq_base, frontier, seen, states,
+                     host_state, opts, pages_meta, hot_thr, hot_hosts,
+                     precise, ctx=None, n_frontier=0):
+        """Construct one round's FULL lazy DAG (fetch → state update →
+        routing → parse → results → candidates → admission → checkpoints
+        → lineage) WITHOUT running any Spark action in scale mode — so
+        the driver-serial DAG-construction time can overlap the previous
+        round's executor work (_scale_loop). In precise mode the build
+        interleaves the exact bookkeeping actions the reference replay
+        needs (results/admission counts, enqueue log), mutating ``ctx``.
+        Returns a plan namespace of every handle the drivers need."""
+        from types import SimpleNamespace
+
+        settings = self.settings
+        build_t0 = time.time()
+
+        if settings.replay_mode == "serialized":
+            first = frontier.orderBy("enqueue_seq").limit(1)
+            due = first
+            # anti-join on enqueue_seq (unique), not url: the reference
+            # can enqueue one target twice via two same-round redirects,
+            # and only the dequeued copy must leave the frontier
+            carried = frontier.join(
+                due.select("enqueue_seq"), "enqueue_seq", "left_anti")
+            carried_count = n_frontier - 1
+        else:
+            due, carried = frontier, self._empty(schemas.FRONTIER)
+            carried_count = 0
+
+        trace = os.environ.get("SPARK_GRAFT_TRACE")
+        _tp = [("start", time.time())]
+
+        def _t(tag):
+            if trace:
+                _tp.append((tag, time.time()))
+
+        attempts = (self.request_processor or fetch_round)(
+            due, pages_meta, host_state, opts,
+            # salting reorders within a host → scale mode only
+            skew_salt_threshold=hot_thr,
+            skew_salt_factor=settings.skew_salt_factor,
+            # hot set comes from an earlier round's frontier stats (one
+            # round stale in the pipelined loop — salting is perf-only)
+            hot_hosts=hot_hosts)
+        attempt_rows, host_state_new = split_attempts(attempts, host_state)
+        attempt_rows = attempt_rows.cache()
+        _t("fetch")
+
+        # host scheduler state: replace updated hosts
+        host_state_next = (host_state.join(host_state_new.select("host"),
+                                           "host", "left_anti")
+                           .unionByName(host_state_new))
+
+        # ---- crawl-state update (UriCrawlStates per-attempt append;
+        # the CrawlRequest log rides along — CrawlRunner.cs:238-255:
+        # transport-error attempts carry no status code)
+        ATT = schemas.ATT_LOG_DDL
+        HOP = schemas.HOP_LOG_DDL
+        st_updates = (attempt_rows
+                      .join(states, "url", "left")
+                      .selectExpr(
+                          "url",
+                          "coalesce(n_attempts, 0) + 1 as n_attempts",
+                          "coalesce(redirect_chain,"
+                          " cast(array() as array<string>))"
+                          " as redirect_chain",
+                          "coalesce(status_code between 200 and 299,"
+                          " false) as last_success",
+                          f"concat(coalesce(att_log, cast(array() as {ATT})),"
+                          " array(named_struct("
+                          "'start_ms', request_start_ms,"
+                          " 'elapsed_ms', elapsed_ms,"
+                          " 'status_code', status_code,"
+                          " 'is_success', coalesce("
+                          "status_code between 200 and 299, false))))"
+                          " as att_log",
+                          f"coalesce(hop_logs, cast(array() as {HOP}))"
+                          " as hop_logs"))
+        _t("st_updates")
+        # cached: five consumers (states2, moved, st_info×2, redirect
+        # chains) would otherwise re-run the join per materialization
+        states1 = (states.join(attempt_rows.select("url"), "url", "left_anti")
+                   .unionByName(st_updates)).cache()
+
+        # ---- routing (CrawlRunner.cs:235-291)
+        # string predicates/projections throughout the round body:
+        # each py4j Column construction costs ~1-3 ms of driver time
+        # and this DAG is rebuilt every round — selectExpr/filter
+        # strings cut measured per-round DAG-construction time ~3x
+        # with identical plans
+        codes = ", ".join(str(c) for c in REDIRECT_CODES)
+        redirects = attempt_rows.filter(
+            f"error is null and status_code in ({codes})").withColumn(
+            "target", _resolve_redirect_udf(F.col("url"), F.col("redirect_to")))
+        successes = attempt_rows.filter(
+            "error is null and status_code between 200 and 299")
+        retries = attempt_rows.filter(
+            "error is not null or status_code between 500 and 599")
+        terminals = attempt_rows.filter(
+            f"error is null and not status_code in ({codes})"
+            " and not status_code between 200 and 299"
+            " and not status_code between 500 and 599")
+
+        # redirect state moves: drop source states, insert first move
+        # per target where the target has no state (TryAdd semantics)
+        red = redirects.cache()
+        w_target = Window.partitionBy("target").orderBy("enqueue_seq")
+        # AddRedirect (CrawlRunner.cs:69-90): the target's fresh state
+        # has an empty request list; the source's requests move into
+        # the redirect chain as a CrawledUriRedirect hop
+        moved = (red.join(states1.selectExpr(
+                              "url", "redirect_chain as src_chain",
+                              "att_log as src_att",
+                              "hop_logs as src_hops"),
+                          "url", "left")
+                 .withColumn("_rn", F.row_number().over(w_target))
+                 .filter("_rn = 1")
+                 .selectExpr(
+                     "target as url",
+                     "0 as n_attempts",
+                     "concat(coalesce(src_chain,"
+                     " cast(array() as array<string>)), array(url))"
+                     " as redirect_chain",
+                     "false as last_success",
+                     f"cast(array() as {ATT}) as att_log",
+                     f"concat(coalesce(src_hops, cast(array() as {HOP})),"
+                     " array(named_struct('location', url,"
+                     f" 'attempts', coalesce(src_att, cast(array() as {ATT})))))"
+                     " as hop_logs"))
+        states2 = states1.join(red.select(F.col("url")), "url", "left_anti")
+        states2 = states2.unionByName(
+            moved.join(states2.select("url"), "url", "left_anti"))
+        _t("states2")
+
+        # ---- parse + this round's direct results
+        parsed = (self.content_processor or parse_round)(
+            successes, self.pages, settings).cache()
+        _t("parse")
+        st_info = states1.selectExpr(
+            "url", "n_attempts as r_attempts",
+            "redirect_chain as r_chain",
+            "att_log as r_att", "hop_logs as r_hops")
+
+        # "crawled without content" (CrawlRunner.cs:283-290): the
+        # result carries Requests + RedirectChain but no Content
+        res_terminal = (terminals.join(st_info, "url", "left").selectExpr(
+            "url", "host", "'Crawled' as status",
+            "coalesce(r_attempts, 1) as n_attempts",
+            "coalesce(r_chain, cast(array() as array<string>))"
+            " as redirect_chain",
+            "status_code as last_status_code",
+            "cast(array() as array<string>) as links",
+            "cast(null as string) as canonical",
+            f"{int(round_no)} as round",
+            "cast(null as boolean) as image_ok",
+            "cast(null as double) as psnr_db",
+            "cast(null as boolean) as phash_match",
+            "cast(null as boolean) as caption_ok",
+            "cast(null as string) as content_type",
+            "cast(null as string) as charset",
+            "cast(null as string) as content_encoding",
+            "cast(null as array<string>) as page_robot_rules",
+            "cast(null as string) as raw_content",
+            "cast(null as array<struct<location:string,text:string,"
+            "title:string,rel:string>>) as links_detail",
+            f"coalesce(r_att, cast(array() as {ATT})) as attempts",
+            f"coalesce(r_hops, cast(array() as {HOP})) as redirect_hops"))
+
+        # CrawledContent parity (CrawledUri.cs:44-56): noindex
+        # (RobotsBlocked) results carry Requests + chain but no
+        # Content (CrawlRunner.cs:97-107)
+        parsed_st = parsed.join(st_info, "url", "left")
+        res_parsed = parsed_st.selectExpr(
+            "url", "host",
+            "case when can_index then 'Crawled'"
+            " else 'RobotsBlocked' end as status",
+            "coalesce(r_attempts, 1) as n_attempts",
+            "coalesce(r_chain, cast(array() as array<string>))"
+            " as redirect_chain",
+            "last_status_code",
+            "case when can_index then transform(links,"
+            f" l -> regexp_replace(l.location, '{_FRAG}', ''))"
+            " else cast(array() as array<string>) end as links",
+            "canonical",
+            f"{int(round_no)} as round",
+            "image_ok", "psnr_db", "phash_match", "caption_ok",
+            "case when can_index then content_type end as content_type",
+            "case when can_index then charset end as charset",
+            "case when can_index then content_encoding end"
+            " as content_encoding",
+            "case when can_index then robots_rules end"
+            " as page_robot_rules",
+            "case when can_index then raw_content end as raw_content",
+            "case when can_index then links end as links_detail",
+            f"coalesce(r_att, cast(array() as {ATT})) as attempts",
+            f"coalesce(r_hops, cast(array() as {HOP})) as redirect_hops")
+        _t("results")
+
+        # precise mode (budget active or exact ordering): maintain the
+        # running totals the budget fold needs, at the cost of extra
+        # actions. Scale mode defers all counting to one pass.
+        round_results = res_terminal.unionByName(res_parsed)
+        if precise:
+            round_results = round_results.cache()
+            ctx.results_total += round_results.count()
+
+        # ---- candidates for the next round
+        link_cands = (parsed.filter("can_index and can_follow")
+                      .select("enqueue_seq", "depth",
+                              F.posexplode("links").alias("pos", "link"))
+                      .filter("link.rel is null"
+                              " or lower(link.rel) != 'nofollow'")
+                      .selectExpr(
+                          f"regexp_replace(link.location, '{_FRAG}', '')"
+                          " as url",
+                          "lower(parse_url(link.location, 'HOST'))"
+                          " as host",
+                          "'link' as kind",
+                          "enqueue_seq as parent_seq",
+                          "pos as child_pos",
+                          "depth + 1 as depth",
+                          "false as skip_budget",
+                          "cast(null as array<string>) as moved_chain"))
+
+        retry_cands = retries.selectExpr(
+            "url", "host", "'retry' as kind",
+            "enqueue_seq as parent_seq", "0 as child_pos", "depth",
+            "false as skip_budget",
+            "cast(null as array<string>) as moved_chain")
+
+        redirect_cands = (red.join(states1.selectExpr(
+                              "url", "redirect_chain as src_chain"),
+                              "url", "left")
+                          .selectExpr(
+                              "target as url",
+                              "lower(parse_url(target, 'HOST')) as host",
+                              "'redirect' as kind",
+                              "enqueue_seq as parent_seq",
+                              "0 as child_pos", "depth",
+                              "true as skip_budget",
+                              "concat(coalesce(src_chain,"
+                              " cast(array() as array<string>)),"
+                              " array(url)) as moved_chain"))
+
+        candidates = link_cands.unionByName(retry_cands).unionByName(redirect_cands)
+        _t("cands")
+
+        adm = admit(candidates, seen, states2, self.robots_map, settings,
+                    self.base_host,
+                    budget_base=(ctx.results_total if ctx else 0) + carried_count,
+                    seq_base=seq_base, round_no=round_no,
+                    per_host_robots=self.per_host_robots,
+                    exact_order=self.exact_order,
+                    lazy_counts=not precise,
+                    bloom_store=(self._bloom_store
+                                 if self.use_bloom
+                                 and self._n_seen >= self.bloom_min_seen
+                                 else None),
+                    robots_rules=self.robots_rules,
+                    scope_hosts=self._scope_hosts)
+        seen_add = adm.seen_add.cache()
+        _t("admit")
+
+        adm_results = adm.results
+        if precise:
+            adm_results = adm_results.cache()
+            ctx.results_total += adm_results.count()
+            ctx.seq_base += adm.n_enqueued
+            if self.collect_enqueue_log and adm.n_enqueued:
+                ctx.enqueue_log.extend(
+                    r.url for r in adm.frontier_add.orderBy("enqueue_seq").collect())
+
+        # localCheckpoint truncates the logical plan NOW (the round
+        # loop would otherwise grow it exponentially — even planning/
+        # explain blows up). The coalesce is load-bearing too: unions
+        # concatenate partition lists, so without it partition counts
+        # (and task counts, and task-closure sizes) grow every round
+        # — measured 1056 tasks on the final delta write.
+        # scale mode keeps every checkpoint lazy; the fused stats
+        # actions materialize them (eager would cost one job per
+        # table — 5 extra driver round-trips per crawl round)
+        eager = self.eager_checkpoint and precise
+        np_ = self._n_parts
+        frontier_next = (carried.unionByName(adm.frontier_add)
+                         .coalesce(np_).localCheckpoint(eager=eager))
+        seen_next = (seen.unionByName(seen_add)
+                     .coalesce(np_).localCheckpoint(eager=eager))
+        states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
+        host_state_next = host_state_next.coalesce(np_).localCheckpoint(eager=eager)
+        delta = (round_results.unionByName(adm_results)
+                 .coalesce(np_).localCheckpoint(eager=eager))
+        _t("checkpoints")
+        lin = None
+        if self.collect_lineage:
+            lin = (attempt_rows.groupBy("host")
+                   .agg(F.count("*").alias("fetched"))
+                   .join(parsed.groupBy("host")
+                         .agg(F.sum(F.size("links")).alias("links_emitted")),
+                         "host", "full")
+                   .join(adm.frontier_add.groupBy("host")
+                         .agg(F.count("*").alias("enqueued")),
+                         "host", "full")
+                   .select(F.lit(round_no).alias("round"), "host",
+                           F.coalesce("fetched", F.lit(0)).alias("fetched"),
+                           F.coalesce("links_emitted", F.lit(0)).alias("links_emitted"),
+                           F.coalesce("enqueued", F.lit(0)).alias("enqueued"))
+                   .coalesce(1).localCheckpoint(eager=False))
+
+        if trace:
+            import sys
+            spans = [(tag, round(tm - _tp[i][1], 2))
+                     for i, (tag, tm) in enumerate(_tp[1:])]
+            print(f"TRACE round={round_no} build {spans}", file=sys.stderr)
+        return SimpleNamespace(
+            round_no=round_no,
+            attempt_rows=attempt_rows, parsed=parsed, red=red,
+            states1=states1, round_results=round_results,
+            adm=adm, adm_results=adm_results, delta=delta,
+            frontier_next=frontier_next, seen_next=seen_next,
+            states2=states2, host_state_next=host_state_next,
+            seen_add=seen_add, lin=lin,
+            carried_count=carried_count,
+            build_s=time.time() - build_t0,
+            caches=[attempt_rows, parsed, red, states1, seen_add,
+                    *( [adm.cached] if adm.cached is not None else [] )])
+
+    # ------------------------------------------------------ loop drivers
+    def _precise_loop(self, ctx, frontier, seen, states, host_state,
+                      opts, pages_meta, hot_thr, max_rounds):
+        """Sequential driver (budget / exact-order replay): per-round
+        exact counting, eager checkpoints, synchronous commits — the
+        reference-replay semantics the golden tests pin."""
+        settings = self.settings
+        while True:
+            if self._next_frontier_count is not None:
+                n_frontier = self._next_frontier_count
+            else:
+                n_frontier, _, self._next_hot_hosts = self._frontier_stats(
+                    frontier, hot_thr)
+            if n_frontier == 0:
+                break
+            if max_rounds is not None and ctx.round_no >= max_rounds:
+                break
+            if self._cancel_evt.is_set():
+                break
+            rt0 = time.time()
+            plan = self._build_round(
+                ctx.round_no, ctx.seq_base, frontier, seen, states,
+                host_state, opts, pages_meta, hot_thr,
+                self._next_hot_hosts, precise=True, ctx=ctx,
+                n_frontier=n_frontier)
+
+            # exact per-attempt metrics (replay/tests): one agg pass
+            err = F.col("error").isNotNull()
+            retrying_5xx = (~err) & F.col("status_code").between(500, 599)
+            n_fetched, wait_ms, n_err, n_retry = plan.attempt_rows.agg(
+                F.count("*"), F.sum("start_delay_ms"),
+                F.sum(err.cast("long")),
+                F.sum((err | retrying_5xx).cast("long"))).first()
+            n_delta = plan.delta.count()
+            n_next, max_seq, _ = self._frontier_stats(plan.frontier_next, 0)
+            n_seen_add = plan.seen_add.count() if self.use_bloom else 0
+            self._bloom_fold(n_seen_add, plan.seen_add, plan.seen_next)
+            ctx.metrics.append({
+                "round": ctx.round_no, "frontier_size": n_frontier,
+                "fetched": int(n_fetched), "errors": int(n_err or 0),
+                "results_emitted": int(n_delta),
+                "new_urls": int(n_next) - plan.carried_count,
+                "politeness_wait_ms": float(wait_ms or 0.0),
+                "retries": int(n_retry or 0),
+                "wall_s": time.time() - rt0,
+                "pages_per_s": int(n_fetched) / max(time.time() - rt0, 1e-9),
+            })
+            self._next_frontier_count = int(n_next)
+
+            # precise mode defers: the lineage delta is still lazy,
+            # so the round's caches must survive until the commit
+            self._deferred_unpersist.extend(
+                [*plan.caches, plan.round_results, plan.adm_results,
+                 frontier, seen, states])
+            if plan.lin is not None:
+                self._pending_lineage.append(plan.lin)
+            delta = plan.delta
+            if (ctx.round_no + 1) % self.snapshot_every == 0:
+                for d in self._pending_deltas:
+                    delta = d.unionByName(delta)
+                self._deferred_unpersist.extend(self._pending_deltas)
+                self._pending_deltas = []
+                self._commit(ctx.round_no, plan.frontier_next, plan.seen_next,
+                             plan.states2, plan.host_state_next, delta,
+                             ctx.round_no, ctx.seq_base, ctx.results_total,
+                             ctx.enqueue_log,
+                             lineage_delta=self._flush_lineage())
+                self._deferred_unpersist.extend(
+                    [plan.frontier_next, plan.seen_next, plan.states2,
+                     plan.host_state_next, delta])
+                frontier, seen, states, host_state = self._reload()
+                for df in self._deferred_unpersist:
+                    df.unpersist()
+                self._deferred_unpersist = []
+            else:
+                # persisted (lazy cache); lineage is truncated at the next
+                # parquet commit, resume point = last committed snapshot
+                frontier, seen, states = (plan.frontier_next, plan.seen_next,
+                                          plan.states2)
+                host_state = plan.host_state_next
+                self._pending_deltas.append(delta)
+            ctx.round_no += 1
+        return frontier, seen, states, host_state
+
+    def _scale_loop(self, ctx, frontier, seen, states, host_state,
+                    opts, pages_meta, hot_thr, max_rounds):
+        """Pipelined driver (scale mode): round N+1's driver-serial DAG
+        construction overlaps round N's executor actions (an action
+        worker thread runs A+B while the main thread builds the next
+        lazy plan — BENCH/BASELINE.md §6 roadmap item 1), and parquet
+        snapshot commits run on a separate commit thread off the round
+        critical path (item 2; the manifest write stays atomic and the
+        next commit joins the previous, so durability ordering holds).
+        Salting hot-sets are one round stale by construction — a pure
+        perf heuristic. Enqueue sequence bases are deterministic per
+        round ((round+1)·2^41) so the next round's admission needs no
+        value from the current round's stats."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        settings = self.settings
+        actions = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="crawl-actions")
+        plan = None
+        try:
+            while True:
+                if self._next_frontier_count is not None:
+                    n_frontier = self._next_frontier_count
+                else:
+                    n_frontier, _, self._next_hot_hosts = self._frontier_stats(
+                        frontier, hot_thr)
+                if n_frontier == 0:
+                    break
+                if max_rounds is not None and ctx.round_no >= max_rounds:
+                    break
+                if self._cancel_evt.is_set():
+                    break
+                rt0 = time.time()
+                ctx.seq_base = self._scale_seq_base(ctx.round_no)
+                if plan is None:
+                    plan = self._build_round(
+                        ctx.round_no, ctx.seq_base, frontier, seen, states,
+                        host_state, opts, pages_meta, hot_thr,
+                        self._next_hot_hosts, precise=False, ctx=ctx)
+                fut = actions.submit(self._run_actions, plan, hot_thr)
+                # overlap: construct round N+1's DAG (pure driver-side
+                # py4j work) while round N's actions run on the cluster;
+                # built speculatively — discarded if the frontier empties
+                next_plan = self._build_round(
+                    ctx.round_no + 1, self._scale_seq_base(ctx.round_no + 1),
+                    plan.frontier_next, plan.seen_next, plan.states2,
+                    plan.host_state_next, opts, pages_meta, hot_thr,
+                    self._next_hot_hosts, precise=False, ctx=ctx)
+                stats = fut.result()
+                ctx.results_total += stats.n_delta
+                self._bloom_fold(stats.n_seen_add, plan.seen_add,
+                                 plan.seen_next)
+                ctx.metrics.append({
+                    "round": ctx.round_no, "frontier_size": n_frontier,
+                    "fetched": stats.n_fetched, "errors": stats.n_err,
+                    "results_emitted": stats.n_delta,
+                    "new_urls": stats.n_next,
+                    "politeness_wait_ms": stats.wait_ms,
+                    "retries": stats.n_retry,
+                    "wall_s": time.time() - rt0,
+                    "pages_per_s": stats.n_fetched / max(time.time() - rt0, 1e-9),
+                    "t_dag_s": round(plan.build_s, 2),
+                    "t_a_s": round(stats.t_a, 2),
+                    "t_b_s": round(stats.t_b, 2),
+                    "t_dag_next_overlapped_s": round(next_plan.build_s, 2),
+                })
+                self._next_frontier_count = int(stats.n_next)
+                self._next_hot_hosts = stats.hot
+                # scale mode materialized every consumer (delta, state
+                # checkpoints, lineage) in this round's actions — free
+                # the caches NOW so executor memory and the CacheManager
+                # (whose plan-normalization lookups scale with entry
+                # count, pure driver time) stay O(1) per round
+                for df in [*plan.caches, frontier, seen, states, host_state]:
+                    df.unpersist()
+                if plan.lin is not None:
+                    self._pending_lineage.append(plan.lin)
+                frontier, seen, states = (plan.frontier_next, plan.seen_next,
+                                          plan.states2)
+                host_state = plan.host_state_next
+                self._pending_deltas.append(plan.delta)
+                ctx.seq_base = self._scale_seq_base(ctx.round_no + 1)
+                if (ctx.round_no + 1) % self.snapshot_every == 0:
+                    delta = self._pending_deltas[0]
+                    for d in self._pending_deltas[1:]:
+                        delta = delta.unionByName(d)
+                    flushed = self._pending_deltas
+                    self._pending_deltas = []
+                    self._commit_async(
+                        ctx.round_no, frontier, seen, states, host_state,
+                        delta, ctx.round_no, ctx.seq_base,
+                        ctx.results_total, list(ctx.enqueue_log),
+                        lineage_delta=self._flush_lineage(),
+                        unpersist_after=flushed)
+                ctx.round_no += 1
+                plan = next_plan
+        finally:
+            if plan is not None:
+                # the speculative last plan never ran: drop its cache
+                # registrations so the CacheManager doesn't accumulate
+                for df in plan.caches:
+                    df.unpersist()
+            actions.shutdown(wait=True)
+        return frontier, seen, states, host_state
+
+    def _run_actions(self, plan, hot_thr):
+        """Round actions on the worker thread: A materializes the heavy
+        chain into the caches (delta count), B is the fused stats pass
+        that also materializes the state checkpoints. Job-group props
+        are thread-local — re-attach so cancel() reaches these jobs."""
+        from types import SimpleNamespace
+
+        self.spark.sparkContext.setJobGroup(
+            self._job_group, "crawl round loop", interruptOnCancel=True)
+        a0 = time.time()
+        n_delta = plan.delta.count()
+        t_a = time.time() - a0
+        mat = (plan.seen_next, plan.states2, plan.host_state_next)
+        if plan.lin is not None:
+            mat = (*mat, plan.lin)
+        (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot,
+         n_seen_add, _) = self._round_stats(
+            plan.attempt_rows, plan.frontier_next,
+            plan.seen_add if self.use_bloom else None, hot_thr,
+            materialize=mat)
+        return SimpleNamespace(
+            n_delta=int(n_delta), n_fetched=int(n_fetched),
+            wait_ms=float(wait_ms or 0.0), n_err=int(n_err or 0),
+            n_retry=int(n_retry or 0), n_next=int(n_next),
+            max_seq=max_seq, hot=hot, n_seen_add=int(n_seen_add),
+            t_a=t_a, t_b=time.time() - a0 - t_a)
+
+    def _bloom_fold(self, n_seen_add, seen_add, seen_next):
+        """Step C: fold the round's new seen keys into the sharded
+        blobs — distributed read-OR-write, no driver keys; crossing the
+        activation threshold does a one-time rebuild from the full
+        seen table."""
+        if not self.use_bloom:
+            return
+        prev_seen = self._n_seen
+        self._n_seen = prev_seen + n_seen_add
+        if prev_seen >= self.bloom_min_seen:
+            self._bloom_store.update(seen_add)
+        elif self._n_seen >= self.bloom_min_seen:
+            self._bloom_store.rebuild(seen_next)
+
+    def _scale_seq_base(self, round_no: int) -> int:
+        """Deterministic per-round enqueue-sequence base for scale mode:
+        rounds may enqueue at most 2^41 rows each, so (round+1)·2^41 is
+        always greater than every earlier round's sequence — per-host
+        FIFO order is preserved without needing the previous round's
+        max-seq statistic (which would serialize the pipelined loop)."""
+        return (round_no + 1) << 41
+
+    # ----------------------------------------------------- async commit
+    def _commit_async(self, *args, unpersist_after=(), **kw):
+        """Run a snapshot commit on the commit thread. At most one in
+        flight (the next joins the previous), so versions land in
+        order; run() joins before returning. The tables being written
+        are already localCheckpoint-materialized, so the commit is pure
+        parquet IO off the round-loop critical path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not hasattr(self, "_commit_pool"):
+            self._commit_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="crawl-commit")
+        self._join_commits()
+
+        def _job():
+            try:
+                self.spark.sparkContext.setJobGroup(
+                    self._job_group, "crawl snapshot commit",
+                    interruptOnCancel=True)
+            except Exception:
+                pass
+            self._commit(*args, **kw)
+            for df in unpersist_after:
+                df.unpersist()
+
+        self._commit_fut = self._commit_pool.submit(_job)
+
+    def _join_commits(self):
+        fut = getattr(self, "_commit_fut", None)
+        if fut is not None:
+            self._commit_fut = None
+            fut.result()
 
     def _flush_lineage(self) -> DataFrame | None:
         if not self._pending_lineage:

@@ -32,6 +32,7 @@ CRAWL_PAGES = StructType([
     StructField("delay_ms", IntegerType(), False),
     StructField("content_type", StringType(), True),
     StructField("charset", StringType(), True),
+    StructField("content_encoding", StringType(), True),
     StructField("x_robots_tag", ArrayType(StringType()), True),
     StructField("robots_meta", StringType(), True),
     StructField("base_href", StringType(), True),
@@ -65,11 +66,38 @@ SEEN = StructType([
     StructField("host", StringType(), False),
 ])
 
+#: One request attempt — CrawlRequest parity (CrawledUri.cs:36-42:
+#: RequestStart/ElapsedTime/StatusCode/IsSuccessfulStatus). start_ms is
+#: the per-host scheduler clock (virtual ms for the synthetic fetch,
+#: wall ms since round start for the HTTP fetch); a transport-error
+#: attempt has a null status_code (CrawlRunner.cs:238-243).
+ATTEMPT_REC = StructType([
+    StructField("start_ms", DoubleType(), True),
+    StructField("elapsed_ms", DoubleType(), True),
+    StructField("status_code", IntegerType(), True),
+    StructField("is_success", BooleanType(), False),
+])
+
+#: DDL strings for selectExpr casts/constructors of the nested logs.
+ATT_REC_DDL = ("struct<start_ms:double,elapsed_ms:double,"
+               "status_code:int,is_success:boolean>")
+ATT_LOG_DDL = f"array<{ATT_REC_DDL}>"
+#: One redirect hop — CrawledUriRedirect parity (CrawledUri.cs:30-34:
+#: the pre-redirect location plus the requests made against it).
+HOP_LOG_DDL = f"array<struct<location:string,attempts:{ATT_LOG_DDL}>>"
+
 STATES = StructType([
     StructField("url", StringType(), False),
     StructField("n_attempts", IntegerType(), False),
     StructField("redirect_chain", ArrayType(StringType()), False),
     StructField("last_success", BooleanType(), False),
+    #: UriCrawlState.Requests (UriCrawlState.cs:10) — this URI's attempts
+    StructField("att_log", ArrayType(ATTEMPT_REC), True),
+    #: CrawledUri.RedirectChain with per-hop request lists
+    StructField("hop_logs", ArrayType(StructType([
+        StructField("location", StringType(), True),
+        StructField("attempts", ArrayType(ATTEMPT_REC), True),
+    ])), True),
 ])
 
 HOST_STATE = StructType([
@@ -116,6 +144,12 @@ PARSED = StructType([
     StructField("canonical", StringType(), True),
     StructField("content_type", StringType(), True),
     StructField("charset", StringType(), True),
+    StructField("content_encoding", StringType(), True),
+    #: CrawledContent.PageRobotRules (X-Robots-Tag values + meta robots)
+    StructField("robots_rules", ArrayType(StringType()), True),
+    #: CrawledContent.RawContent — body text (null when the page row has
+    #: no raw body, i.e. pre-extracted structured fixtures)
+    StructField("raw_content", StringType(), True),
     StructField("links", ArrayType(RESOLVED_LINK), False),
     StructField("image_ok", BooleanType(), True),
     StructField("psnr_db", DoubleType(), True),
@@ -137,6 +171,24 @@ RESULTS = StructType([
     StructField("psnr_db", DoubleType(), True),
     StructField("phash_match", BooleanType(), True),
     StructField("caption_ok", BooleanType(), True),
+    # -- CrawledContent parity (CrawledUri.cs:44-56): null on results
+    # that the reference emits without Content (admission results,
+    # "crawled without content" terminals, noindex RobotsBlocked)
+    StructField("content_type", StringType(), True),
+    StructField("charset", StringType(), True),
+    StructField("content_encoding", StringType(), True),
+    StructField("page_robot_rules", ArrayType(StringType()), True),
+    StructField("raw_content", StringType(), True),
+    #: CrawledContent.Links with title/text/rel (CrawlLink.cs:7-13);
+    #: the bare-string ``links`` column above stays for the oracles
+    StructField("links_detail", ArrayType(RESOLVED_LINK), True),
+    # -- per-request detail (CrawledUri.cs:16-17): Requests of the final
+    # location, and the redirect chain with per-hop request lists
+    StructField("attempts", ArrayType(ATTEMPT_REC), True),
+    StructField("redirect_hops", ArrayType(StructType([
+        StructField("location", StringType(), True),
+        StructField("attempts", ArrayType(ATTEMPT_REC), True),
+    ])), True),
 ])
 
 CANDIDATES = StructType([

@@ -40,16 +40,23 @@ EVENTS_SCHEMA = StructType([
     StructField("props", StringType()),
 ])
 
-SESSION_STATE = "n_sessions LONG, last_ts_epoch DOUBLE"
+SESSION_STATE = ("n_sessions LONG, last_ts_epoch DOUBLE,"
+                 " buf ARRAY<DOUBLE>, upd_seq LONG")
 SESSION_OUT = StructType([
     StructField("user_id", LongType()),
     StructField("n_sessions", LongType()),
+    #: per-key update counter — consumers keep the row with the highest
+    #: upd_seq (update-mode sinks may retain superseded rows, and a
+    #: provisional count can legitimately DECREASE when a late event
+    #: bridges two provisional sessions)
+    StructField("upd_seq", LongType()),
 ])
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
     return (spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 4)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(path))
 
 
@@ -66,34 +73,58 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
                     "event_type", "n_events", "sum_value"))
 
 
-def sessionize_stream(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
-    """Custom stateful operator: per-user gap-based session counting.
-    State = (session count, last event time); a new session starts when
-    the gap to the previous event exceeds ``gap_s``. Semantics match the
-    batch window program exactly (events arrive time-ordered per user in
-    the sandbox feed)."""
+def sessionize_stream(stream: DataFrame, gap_s: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user gap-based session counting,
+    correct under CROSS-BATCH event-time disorder up to the watermark.
+
+    Events are buffered in state and only *finalized* (folded into the
+    committed session count, in event-time order) once the watermark
+    passes them — so an event arriving in a later micro-batch than a
+    newer event still lands in its correct position. Each update row
+    also extends the count *provisionally* over the still-buffered
+    tail, so a drained stream's final row equals the batch program on
+    the same events. Stragglers beyond the watermark delay merge into
+    the current session instead of rewinding it (the standard
+    bounded-late-data contract; state stays O(events within the
+    watermark window) per user)."""
 
     def count_sessions(key, pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            n_sessions, last_epoch = state.get
+            n_sessions, last_epoch, buf, upd_seq = state.get
+            buf = list(buf) if buf is not None else []
+            last = last_epoch if last_epoch is not None and last_epoch >= 0 else None
         else:
-            n_sessions, last_epoch = 0, None
+            n_sessions, last, buf, upd_seq = 0, None, [], 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
-                epoch = ts.timestamp()
-                if last_epoch is None or epoch - last_epoch > gap_s:
-                    n_sessions += 1
-                last_epoch = epoch
-        state.update((n_sessions, float(last_epoch if last_epoch else 0.0)))
-        yield pd.DataFrame([{"user_id": user_id, "n_sessions": n_sessions}])
+            buf.extend(float(ts.timestamp()) for ts in pdf["ts"])
+        buf.sort()
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        finalized = [e for e in buf if e <= wm_s]
+        buf = [e for e in buf if e > wm_s]
+        for epoch in finalized:
+            if last is None or epoch - last > gap_s:
+                n_sessions += 1
+            last = epoch if last is None else max(last, epoch)
+        upd_seq += 1
+        state.update((n_sessions,
+                      float(last) if last is not None else -1.0,
+                      buf, upd_seq))
+        prov, plast = n_sessions, last
+        for epoch in buf:
+            if plast is None or epoch - plast > gap_s:
+                prov += 1
+            plast = epoch
+        yield pd.DataFrame([{"user_id": user_id, "n_sessions": prov,
+                             "upd_seq": upd_seq}])
 
-    return (stream.groupBy("user_id").applyInPandasWithState(
-        count_sessions, outputStructType=SESSION_OUT,
-        stateStructType=SESSION_STATE, outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout))
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                count_sessions, outputStructType=SESSION_OUT,
+                stateStructType=SESSION_STATE, outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
 
 
 def run_available_now(df: DataFrame, query_name: str,

@@ -48,6 +48,7 @@ def _link(href: str, text: str | None = None, title: str | None = None,
 def _page(url: str, status_code: int = 200, links: list[dict] | None = None,
           redirect_to: str | None = None, delay_ms: int = 0,
           content_type: str = "text/html", charset: str | None = "utf-8",
+          content_encoding: str | None = None,
           x_robots_tag: list[str] | None = None, robots_meta: str | None = None,
           base_href: str | None = None, canonical_href: str | None = None,
           img_w: int = 16, img_h: int = 12, fmt: str | None = None) -> dict:
@@ -63,6 +64,7 @@ def _page(url: str, status_code: int = 200, links: list[dict] | None = None,
         "delay_ms": delay_ms,
         "content_type": content_type,
         "charset": charset,
+        "content_encoding": content_encoding,
         "x_robots_tag": x_robots_tag or [],
         "robots_meta": robots_meta,
         "base_href": base_href,
