@@ -14,18 +14,24 @@ one narrow map pass (no shuffle): per batch it
 - decodes the image payload, checks PSNR ≥ 40 dB / exact pixels,
   recomputes the phash, and compares the caption.
 
-Two engines behind one row kernel:
+Two engines behind one row kernel, selectable with
+``SPARK_GRAFT_PARSE=pandas|arrow``:
 
-- ``arrow`` (default): ``mapInArrow`` — the payload ``bytes`` column
-  stays in the record batch's single contiguous Arrow buffer and rows
-  are handed to the validator as ZERO-COPY memoryview slices. The
-  pandas engine materializes one Python ``bytes`` object per row
-  (~2 GB of allocator churn per million 2 KB payloads), which is the
-  byte-stream/allocator pressure that binds this stage at high
-  parallelism (BENCH/BASELINE.md §0 membw collapse; §6 roadmap 3).
-- ``pandas``: the original ``mapInPandas`` path, kept as a fallback
-  (SPARK_GRAFT_PARSE=pandas) and as the A/B twin for the equivalence
-  test.
+- ``pandas`` (default): ``mapInPandas``. Chosen BY MEASUREMENT, not
+  theory: at the benchmark payload size (2.3 KB rows) interleaved A/B
+  at local[8] put it 15-30% ahead of the arrow engine (38.5-50.6k vs
+  32.4-36.3k pages/s) — Spark's C-level Arrow↔pandas conversion beats
+  Python-level RecordBatch assembly, and the per-row ``bytes`` objects
+  it materializes are cheap at this size (BENCH/BASELINE.md §3).
+- ``arrow``: ``mapInArrow`` — the payload ``bytes`` column stays in
+  the record batch's contiguous Arrow buffer and rows reach the
+  validator as ZERO-COPY memoryview slices; pass-through columns are
+  reused as unconverted Arrow arrays. The expected regime for this
+  engine is LARGE payloads (hundreds of KB per row), where per-row
+  bytes-object allocation and copy traffic dominate; at small payloads
+  its per-batch Python-side assembly overhead wins out, so it is not
+  the default. Equivalence is pinned row-for-row by
+  tests/test_parse_arrow.py.
 """
 
 from __future__ import annotations
@@ -79,9 +85,7 @@ def _parse_kernel(cols: dict, n: int, user_agent: str, validate: bool) -> dict:
     from infinitycrawler_spark.functions.html import extract_html
 
     none = [None] * n
-    urls = cols["url"]; hosts = cols["host"]
-    seqs = cols["enqueue_seq"]; depths = cols["depth"]
-    statuses = cols["last_status_code"]
+    urls = cols["url"]; hosts = cols.get("host") or none
     xrts = cols.get("x_robots_tag") or none
     metas = cols.get("robots_meta") or none
     base_hrefs = cols.get("base_href") or none
@@ -156,13 +160,11 @@ def _parse_kernel(cols: dict, n: int, user_agent: str, validate: bool) -> dict:
         c_links.append(links)
         c_image_ok.append(image_ok); c_psnr.append(psnr)
         c_phash.append(phash_match); c_caption.append(caption_ok)
+    # computed columns only — pass-through columns (url/host/seq/depth/
+    # status/content meta) are reused by the engines without conversion
     return {
-        "url": urls, "host": hosts, "enqueue_seq": seqs, "depth": depths,
-        "last_status_code": statuses,
         "can_index": c_can_index, "can_follow": c_can_follow,
         "canonical": c_canonical,
-        "content_type": ctypes, "charset": charsets,
-        "content_encoding": cencs if cols.get("content_encoding") else none,
         "robots_rules": c_rules, "raw_content": c_raw,
         "links": c_links,
         "image_ok": c_image_ok, "psnr_db": c_psnr,
@@ -236,27 +238,61 @@ def parse_round(
 
     user_agent = settings.user_agent
     validate = settings.validate_payload
-    engine = os.environ.get("SPARK_GRAFT_PARSE", "arrow")
+    engine = os.environ.get("SPARK_GRAFT_PARSE", "pandas")
 
     if engine == "arrow":
+        # columns the row kernel must see as Python values; everything
+        # else passes through as UNTOUCHED arrow arrays (url/host/seq/
+        # depth/status/content meta — zero conversion either direction),
+        # and the binary columns arrive as zero-copy memoryview slices
+        # over the batch buffer (no per-row bytes objects — the
+        # allocator churn this engine exists to kill)
+        KERNEL_COLS = ("url", "host", "x_robots_tag", "robots_meta",
+                       "base_href", "canonical_href", "links",
+                       "content_type", "charset", "image_id", "w", "h",
+                       "fmt", "caption", "phash")
+
         def parse_batches_arrow(batches) -> Iterator:
             import pyarrow as pa
 
             out_schema = _arrow_out_schema()
+
+            def _ensure(arr, typ):
+                return arr if arr.type.equals(typ) else arr.cast(typ)
+
             for batch in batches:
                 n = batch.num_rows
                 if not n:
                     continue
                 names = batch.schema.names
-                cols = {}
-                for name in names:
-                    arr = batch.column(names.index(name))
-                    if name in ("bytes", "body"):
-                        cols[name] = _binary_views(arr)
-                    else:
-                        cols[name] = arr.to_pylist()
+
+                def col(name):
+                    return batch.column(names.index(name))
+
+                cols = {name: col(name).to_pylist()
+                        for name in KERNEL_COLS if name in names}
+                for name in ("bytes", "body"):
+                    if name in names:
+                        cols[name] = _binary_views(col(name))
                 out = _parse_kernel(cols, n, user_agent, validate)
-                arrays = [pa.array(out[f.name], type=f.type)
+                null_str = pa.nulls(n, pa.string())
+                passthrough = {
+                    "url": _ensure(col("url"), pa.string()),
+                    "host": _ensure(col("host"), pa.string()),
+                    "enqueue_seq": _ensure(col("enqueue_seq"), pa.int64()),
+                    "depth": _ensure(col("depth"), pa.int32()),
+                    "last_status_code": _ensure(col("last_status_code"),
+                                                pa.int32()),
+                    "content_type": (_ensure(col("content_type"), pa.string())
+                                     if "content_type" in names else null_str),
+                    "charset": (_ensure(col("charset"), pa.string())
+                                if "charset" in names else null_str),
+                    "content_encoding": (
+                        _ensure(col("content_encoding"), pa.string())
+                        if "content_encoding" in names else null_str),
+                }
+                arrays = [passthrough[f.name] if f.name in passthrough
+                          else pa.array(out[f.name], type=f.type)
                           for f in out_schema]
                 yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
@@ -269,21 +305,21 @@ def parse_round(
                 continue
             cols = {name: pdf[name].tolist() for name in pdf.columns}
             out = _parse_kernel(cols, n, user_agent, validate)
+            none = [None] * n
             yield pd.DataFrame({
-                "url": out["url"], "host": out["host"],
-                "enqueue_seq": pd.array(
-                    [int(s) for s in out["enqueue_seq"]], dtype="int64"),
+                "url": pdf["url"].values, "host": pdf["host"].values,
+                "enqueue_seq": pdf["enqueue_seq"].values,
                 "depth": pd.array(
-                    [int(d) for d in out["depth"]], dtype="int32"),
+                    [int(d) for d in cols["depth"]], dtype="int32"),
                 "last_status_code": pd.array(
                     [None if s is None or s != s else int(s)
-                     for s in out["last_status_code"]], dtype="Int32"),
+                     for s in cols["last_status_code"]], dtype="Int32"),
                 "can_index": out["can_index"],
                 "can_follow": out["can_follow"],
                 "canonical": out["canonical"],
-                "content_type": out["content_type"],
-                "charset": out["charset"],
-                "content_encoding": out["content_encoding"],
+                "content_type": cols.get("content_type", none),
+                "charset": cols.get("charset", none),
+                "content_encoding": cols.get("content_encoding", none),
                 "robots_rules": out["robots_rules"],
                 "raw_content": out["raw_content"],
                 "links": out["links"],
