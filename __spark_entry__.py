@@ -485,6 +485,39 @@ def q_multimodal_audio(spark, sf):
     return audio_features(clips).orderBy("audio_id")
 
 
+def q_multimodal_image(spark, sf):
+    """Image decode + feature extraction over deterministic synthetic
+    images keyed by doc ids (operators/multimodal.py::image_features —
+    dimensions, channel means, phash, pooled embedding). Checked
+    against the pinned VALUES-literal oracle IMAGE_ORACLE; the
+    array-typed embedding is reduced to its L2 norm so every output
+    column is scalar."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from infinitycrawler_spark.functions.images import encode_image, expected_pixels
+    from infinitycrawler_spark.operators.multimodal import image_features
+
+    ids = [r.doc_id for r in _t(spark, sf, "documents")
+           .select("doc_id").orderBy("doc_id").limit(30).collect()]
+    fmt_for = lambda d: "rgb8-q" if int(d) % 2 else "rgb8-raw"  # noqa: E731
+    imgs = spark.createDataFrame(
+        [(str(d), encode_image(expected_pixels(str(d), 24, 16), fmt_for(d)),
+          fmt_for(d)) for d in ids],
+        "image_id string, bytes binary, fmt string")
+    feats = image_features(imgs)
+    emb_norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (feats.select(
+        "image_id", "ok", "w", "h", "fmt",
+        F.round(F.element_at("mean_rgb", 1), 4).alias("mean_r"),
+        F.round(F.element_at("mean_rgb", 2), 4).alias("mean_g"),
+        F.round(F.element_at("mean_rgb", 3), 4).alias("mean_b"),
+        "phash",
+        F.round(emb_norm, 4).alias("emb_norm"))
+        .orderBy("image_id"))
+
+
 def q_multimodal_video(spark, sf):
     """Frame sampling over rawv clips synthesized from doc ids — one
     row per sampled frame, frames re-encoded as lossless images.
@@ -624,6 +657,43 @@ FROM (VALUES
 """
 
 
+IMAGE_ORACLE = """
+SELECT CAST(image_id AS VARCHAR) AS image_id, CAST(ok AS VARCHAR) AS ok, CAST(w AS INT) AS w, CAST(h AS INT) AS h, CAST(fmt AS VARCHAR) AS fmt, CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g, CAST(mean_b AS DOUBLE) AS mean_b, CAST(phash AS BIGINT) AS phash, CAST(emb_norm AS DOUBLE) AS emb_norm
+FROM (VALUES
+  ('0', 'ok', 24, 16, 'rgb8-raw', 127.2448, 127.0391, 123.8073, -5626117873134815443, 1.98),
+  ('1', 'ok', 24, 16, 'rgb8-q', 131.1458, 134.7708, 118.1771, -163724822979071574, 2.0111),
+  ('10', 'ok', 24, 16, 'rgb8-raw', 126.026, 122.8698, 124.5104, -6498082179576682391, 1.9566),
+  ('11', 'ok', 24, 16, 'rgb8-q', 130.0938, 126.125, 124.9063, -4040856762239936427, 1.9967),
+  ('12', 'ok', 24, 16, 'rgb8-raw', 124.7161, 132.9297, 120.4505, 7450276150552858709, 1.9788),
+  ('13', 'ok', 24, 16, 'rgb8-q', 127.9583, 124.4375, 121.5833, 2856312047075907756, 1.9602),
+  ('14', 'ok', 24, 16, 'rgb8-raw', 124.9271, 124.5313, 126.9479, -3374603692881195214, 1.9742),
+  ('15', 'ok', 24, 16, 'rgb8-q', 129.1667, 118.3021, 127.7917, 6855675696885514163, 1.9644),
+  ('16', 'ok', 24, 16, 'rgb8-raw', 126.6641, 123.4193, 126.763, -5081897313026507437, 1.9736),
+  ('17', 'ok', 24, 16, 'rgb8-q', 131.4583, 126.9271, 126.9479, 764674106765535216, 2.0204),
+  ('18', 'ok', 24, 16, 'rgb8-raw', 126.0781, 121.0833, 127.3307, -6049761929356678454, 1.9627),
+  ('19', 'ok', 24, 16, 'rgb8-q', 121.75, 122.2292, 126.2917, -7246406377139578680, 1.9394),
+  ('2', 'ok', 24, 16, 'rgb8-raw', 125.3359, 130.75, 129.1615, 4371199851443277397, 2.017),
+  ('20', 'ok', 24, 16, 'rgb8-raw', 122.2969, 127.3516, 121.8646, 2501379403136547908, 1.9486),
+  ('21', 'ok', 24, 16, 'rgb8-q', 131.1771, 128.9375, 129.8958, 3003926713443105553, 2.0429),
+  ('22', 'ok', 24, 16, 'rgb8-raw', 125.2526, 124.6589, 123.5495, 1115611856887737691, 1.9569),
+  ('23', 'ok', 24, 16, 'rgb8-q', 125.1667, 130.4271, 126.4375, 8331467411560310996, 2.0038),
+  ('24', 'ok', 24, 16, 'rgb8-raw', 129.1901, 122.2578, 134.8828, 6567672116033536924, 2.0242),
+  ('25', 'ok', 24, 16, 'rgb8-q', 128.4063, 125.1979, 123.8229, 906187224217209910, 1.9742),
+  ('26', 'ok', 24, 16, 'rgb8-raw', 129.25, 130.2344, 120.2682, 4341094607104369276, 1.9889),
+  ('27', 'ok', 24, 16, 'rgb8-q', 121.9792, 116.0104, 126.8021, -1422772618211922409, 1.9122),
+  ('28', 'ok', 24, 16, 'rgb8-raw', 124.4531, 123.112, 128.9036, 6701795945195320044, 1.9751),
+  ('29', 'ok', 24, 16, 'rgb8-q', 129.2917, 116.6771, 129.1354, -5405004354539524276, 1.966),
+  ('3', 'ok', 24, 16, 'rgb8-q', 125.0104, 124.125, 127.4167, -4692159174536251800, 1.9731),
+  ('4', 'ok', 24, 16, 'rgb8-raw', 124.7161, 122.6042, 127.5104, 1751445521598602672, 1.9634),
+  ('5', 'ok', 24, 16, 'rgb8-q', 125.8646, 126.8021, 129.875, -4276214909533111667, 2.0035),
+  ('6', 'ok', 24, 16, 'rgb8-raw', 125.013, 127.9974, 125.6745, -5314059443779821899, 1.9855),
+  ('7', 'ok', 24, 16, 'rgb8-q', 124.2917, 124.4583, 121.7188, 7364744121665530919, 1.9417),
+  ('8', 'ok', 24, 16, 'rgb8-raw', 132.6458, 119.9115, 125.1068, -6950362261046240402, 1.9764),
+  ('9', 'ok', 24, 16, 'rgb8-q', 128.5208, 126.6354, 120.9792, 5157682778868452215, 1.9692)
+) AS t(image_id, ok, w, h, fmt, mean_r, mean_g, mean_b, phash, emb_norm)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return crawl_fixpoint(spark, "/root/testdata/sf0.001")
@@ -667,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (binary decode — oracled via pinned VALUES literals)
         "multimodal_audio_features": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
+        "multimodal_image_features": q_multimodal_image,
         # crawl
         "crawl_frontier_expand": q_crawl_frontier_expand,
         # iterative engine loop; oracle = closed-form 3-level BFS CTE
@@ -1024,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_audio_features": AUDIO_ORACLE,
         "multimodal_video_frames": VIDEO_ORACLE,
+        "multimodal_image_features": IMAGE_ORACLE,
         "crawl_frontier_expand": f"""
             SELECT url, partkey FROM (
                 SELECT DISTINCT 'http://parts.shop/part/' || l_partkey AS url,

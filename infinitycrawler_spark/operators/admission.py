@@ -432,11 +432,13 @@ def admit(
         # scale mode: per-host FIFO is all politeness needs; avoids the
         # single-partition global window
         w_seq = Window.partitionBy("host").orderBy(*_order())
+    prio = settings.priority_expr or "0"
     frontier_add = enq.withColumn(
         "enqueue_seq", F.row_number().over(w_seq) + F.lit(seq_base)
     ).selectExpr(
         "url", "host", "xxhash64(url) as url_key",
         "enqueue_seq", "depth", f"{int(round_no)} as round_enqueued",
+        f"cast(coalesce({prio}, 0) as int) as priority",
     )
 
     n_enqueued = -1 if lazy_counts else frontier_add.count()

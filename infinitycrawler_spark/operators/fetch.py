@@ -57,7 +57,11 @@ def fetch_round(
     elif skew_salt_threshold <= 0 or skew_salt_factor <= 1:
         hot_hosts = set()
 
-    due_sel = due.select("url", "host", "enqueue_seq", "depth")
+    has_priority = "priority" in due.columns
+    due_sel = due.select("url", "host", "enqueue_seq", "depth",
+                         *(["priority"] if has_priority else []))
+    if not has_priority:
+        due_sel = due_sel.withColumn("priority", F.lit(0))
     if hot_hosts:
         due_sel = due_sel.withColumn(
             "salt",
@@ -77,7 +81,10 @@ def fetch_round(
     factor = skew_salt_factor
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("enqueue_seq").reset_index(drop=True)
+        # per-host priority queue (north rule; reference is FIFO-only):
+        # higher priority launches earlier, ties in FIFO enqueue order
+        pdf = pdf.sort_values(["priority", "enqueue_seq"],
+                              ascending=[False, True]).reset_index(drop=True)
         host = pdf["host"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
         stride = factor if host in hot_hosts else 1

@@ -524,7 +524,7 @@ class CrawlJob:
                 for i, u in enumerate(extra_queue_urls):
                     cu = canonicalize(u) or u
                     rows.append((cu, host_of(cu) or "", 0,  # url_key filled below
-                                 seq_base + 1 + i, 0, 0))
+                                 seq_base + 1 + i, 0, 0, 0))
                 extra = (spark.createDataFrame(rows, schema=schemas.FRONTIER)
                          .withColumn("url_key", F.xxhash64("url")))
                 frontier = frontier.unionByName(extra)

@@ -58,6 +58,10 @@ FRONTIER = StructType([
     StructField("enqueue_seq", LongType(), False),
     StructField("depth", IntegerType(), False),
     StructField("round_enqueued", IntegerType(), False),
+    #: north-rule addition (absent from the reference, whose queue is
+    #: FIFO only — DefaultRequestProcessor.cs:19): higher fetches
+    #: earlier within a host's politeness round; ties keep FIFO order
+    StructField("priority", IntegerType(), False),
 ])
 
 SEEN = StructType([

@@ -65,6 +65,12 @@ class CrawlSettings:
     max_number_of_pages_to_crawl: int = 0
     #: North-rule addition: depth limit (0 disables). Reference tracks no depth.
     max_depth: int = 0
+    #: North-rule addition: per-host priority (the reference's queue is
+    #: FIFO only, DefaultRequestProcessor.cs:19). A SQL expression over
+    #: the admitted-candidate columns (url, host, kind, depth, ...);
+    #: higher values fetch earlier within a host's politeness round,
+    #: ties keep FIFO (enqueue_seq) order. None → constant 0 (pure FIFO).
+    priority_expr: str | None = None
     request_processor_options: RequestProcessorOptions = field(
         default_factory=RequestProcessorOptions
     )

@@ -31,6 +31,34 @@ def test_scale_mode_matches_golden(spark, tmp_path):
     assert sum(m["fetched"] for m in out.metrics) >= len(g.results)
 
 
+def test_scale_mode_resume_is_exact(spark, tmp_path):
+    """Resume after a scale-mode run stopped mid-crawl: the pipelined
+    loop commits asynchronously and never reloads mid-run, so this
+    pins that its snapshots still resume exactly (run 1 does one
+    round, run 2 resumes from the committed snapshot and must finish
+    with the same final state as an uninterrupted crawl)."""
+    fx = basic_site()
+    settings = CrawlSettings(
+        request_processor_options=RequestProcessorOptions().no_delay())
+
+    def make_job():
+        return CrawlJob(
+            spark=spark, pages=pages_df(spark, fx),
+            robots_map={h: parse_robots_txt(t)
+                        for h, t in fx.robots_txt.items()},
+            sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+            settings=settings, store_root=str(tmp_path / "state"),
+            collect_enqueue_log=False, exact_order=False,
+            snapshot_every=1, eager_checkpoint=False)
+
+    make_job().run(max_rounds=1)
+    out = make_job().run(resume=True)
+    g = golden.crawl(basic_site(), settings)
+    assert {(r.url, r.status, r.n_attempts) for r in out.results.collect()} \
+        == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in out.seen.collect()} == g.seen
+
+
 def test_scale_mode_extras_crawled_when_seed_blocked(spark, tmp_path):
     """Scale mode precomputes round-0 frontier stats BEFORE
     extra_queue_urls join the frontier; with an all-blocking robots the

@@ -62,9 +62,19 @@ def main():
                "ts_s": "DOUBLE", "w": "INT", "h": "INT",
                "frame_bytes": "INT"}
 
+    image = e.q_multimodal_image(spark, sf).collect()
+    i_cols = ["image_id", "ok", "w", "h", "fmt", "mean_r", "mean_g",
+              "mean_b", "phash", "emb_norm"]
+    i_casts = {"image_id": "VARCHAR", "ok": "VARCHAR", "w": "INT",
+               "h": "INT", "fmt": "VARCHAR", "mean_r": "DOUBLE",
+               "mean_g": "DOUBLE", "mean_b": "DOUBLE",
+               "phash": "BIGINT", "emb_norm": "DOUBLE"}
+
     print("AUDIO_ORACLE = \"\"\"\n" + values_sql(audio, a_cols, a_casts)
           + "\n\"\"\"\n")
     print("VIDEO_ORACLE = \"\"\"\n" + values_sql(video, v_cols, v_casts)
+          + "\n\"\"\"\n")
+    print("IMAGE_ORACLE = \"\"\"\n" + values_sql(image, i_cols, i_casts)
           + "\n\"\"\"\n")
 
 
