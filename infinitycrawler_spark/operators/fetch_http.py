@@ -63,7 +63,10 @@ def _fetch_one(session, url: str, timeout_s: float, user_agent: str):
     if ";" in ctype:
         main_type, _, rest = ctype.partition(";")
         if "charset=" in rest:
-            charset = rest.split("charset=", 1)[1].strip().strip('"')
+            # the charset token ends at the next parameter separator
+            # ('...; charset=utf-8; boundary=x' must yield 'utf-8')
+            charset = (rest.split("charset=", 1)[1]
+                       .split(";", 1)[0].strip().strip('"') or None)
     xrt = resp.headers.get("X-Robots-Tag")
     # ContentEncoding joined like DefaultContentProcessor.cs:21
     cenc = resp.headers.get("Content-Encoding")
@@ -82,8 +85,14 @@ def http_fetch_round(
     HTTP_ATTEMPT: one row per real request plus the per-host ``is_state``
     trailer, exactly like the synthetic ``fetch_round`` — ``CrawlJob``'s
     split/route/parse stages run unchanged on the output."""
-    joined = due.select("url", "host", "enqueue_seq", "depth").join(
-        host_state, "host", "left")
+    from pyspark.sql import functions as F
+
+    has_priority = "priority" in due.columns
+    due_sel = due.select("url", "host", "enqueue_seq", "depth",
+                         *(["priority"] if has_priority else []))
+    if not has_priority:
+        due_sel = due_sel.withColumn("priority", F.lit(0))
+    joined = due_sel.join(host_state, "host", "left")
 
     delay_ms = options.delay_between_request_start_ms
     timeout_s = options.request_timeout_ms / 1000.0
@@ -95,7 +104,9 @@ def http_fetch_round(
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import requests
 
-        pdf = pdf.sort_values("enqueue_seq").reset_index(drop=True)
+        # same per-host priority-queue order as the synthetic fetcher
+        pdf = pdf.sort_values(["priority", "enqueue_seq"],
+                              ascending=[False, True]).reset_index(drop=True)
         host = pdf["host"].iloc[0]
         # carry the host's AIMD scheduler state across rounds, exactly
         # like the synthetic scheduler (politeness.py; the reference's

@@ -93,7 +93,6 @@ def _parse_kernel(cols: dict, n: int, user_agent: str, validate: bool) -> dict:
     links_col = cols.get("links") or none
     ctypes = cols.get("content_type") or none
     charsets = cols.get("charset") or none
-    cencs = cols.get("content_encoding") or none
     bodies = cols.get("body") or none
     image_ids = cols.get("image_id") or none
     payloads = cols.get("bytes") or none
@@ -118,11 +117,21 @@ def _parse_kernel(cols: dict, n: int, user_agent: str, validate: bool) -> dict:
         raw_content = None
         if body is not None:
             # CrawledContent.RawContent (Crawler.cs:70-71): the
-            # response body re-read as text
-            raw_content = bytes(body).decode(
-                charset or "utf-8", errors="replace")
+            # response body re-read as text. errors='replace' handles
+            # bad bytes; an unknown/garbled charset TOKEN (real servers
+            # send those) would raise LookupError at codec lookup, so
+            # fall back to utf-8 rather than failing the task
+            try:
+                raw_content = bytes(body).decode(
+                    charset or "utf-8", errors="replace")
+            except LookupError:
+                charset = "utf-8"
+                raw_content = bytes(body).decode("utf-8", errors="replace")
             if isinstance(ctype, str) and "html" in ctype:
-                html = extract_html(bytes(body), charset or "utf-8")
+                try:
+                    html = extract_html(bytes(body), charset or "utf-8")
+                except LookupError:
+                    html = extract_html(bytes(body), "utf-8")
                 row_base_href = html.base_href
                 row_canonical_href = html.canonical_href
                 row_robots_meta = html.robots_meta

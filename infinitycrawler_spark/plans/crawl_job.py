@@ -382,6 +382,11 @@ class CrawlJob:
 
     def run(self, extra_queue_urls: list[str] | None = None,
             max_rounds: int | None = None, resume: bool = False) -> CrawlOutput:
+        if self.settings.replay_mode == "serialized" and not self.exact_order:
+            # per-host windows make enqueue_seq non-unique across hosts,
+            # which would break the serialized dequeue's anti-join
+            raise ValueError(
+                "replay_mode='serialized' requires exact_order=True")
         spark = self.spark
         self._job_group = f"crawljob-{id(self)}"
         spark.sparkContext.setJobGroup(self._job_group,
@@ -432,6 +437,10 @@ class CrawlJob:
                 self._join_commits()
             except Exception:
                 pass  # the loop's own error (if any) is already in flight
+            pool = getattr(self, "_commit_pool", None)
+            if pool is not None:
+                pool.shutdown(wait=True)
+                del self._commit_pool
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
             spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
@@ -451,9 +460,14 @@ class CrawlJob:
 
         if resume and (manifest := self.store.latest_manifest()):
             v = manifest["version"]
-            frontier = self.store.read_table(spark, v, "frontier")
+            frontier = self._migrate(
+                self.store.read_table(spark, v, "frontier"),
+                {"priority": "cast(0 as int)"})
             seen = self.store.read_table(spark, v, "seen")
-            states = self.store.read_table(spark, v, "states")
+            states = self._migrate(
+                self.store.read_table(spark, v, "states"),
+                {"att_log": f"cast(null as {schemas.ATT_LOG_DDL})",
+                 "hop_logs": f"cast(null as {schemas.HOP_LOG_DDL})"})
             host_state = self.store.read_table(spark, v, "host_state")
             if self.use_bloom:
                 # blobs may lead the snapshot (safe: superset) but a
@@ -472,7 +486,11 @@ class CrawlJob:
             host_state = self._empty(schemas.HOST_STATE)
             results_total = 0
             round_no = 0
-            precise = settings.max_number_of_pages_to_crawl > 0 or self.exact_order
+            # must match the loop drivers' precise predicate below —
+            # serialized replay takes the sequential round-0 path too
+            precise = (settings.max_number_of_pages_to_crawl > 0
+                       or self.exact_order
+                       or settings.replay_mode == "serialized")
             # round-0 admission: seed + sitemap candidates
             adm = admit(self._seed_candidates(), seen, states, self.robots_map,
                         settings, self.base_host, budget_base=0, seq_base=0,
@@ -538,25 +556,36 @@ class CrawlJob:
                 # precomputed hot set — round 0 recomputes it, so hosts
                 # made hot by the extras still get salted
                 if self._next_frontier_count is not None:
-                    self._next_frontier_count += len(rows)
-                    if len(rows) > settings.skew_salt_threshold > 0:
+                    if settings.skew_salt_threshold > 0 and not self.exact_order:
+                        # extras can push an existing host over the salt
+                        # threshold — recompute the stats for round 0
                         self._next_hot_hosts = None
                         self._next_frontier_count = None
+                    else:
+                        self._next_frontier_count += len(rows)
             if precise:
                 self._commit(0 - 1, frontier, seen, states, host_state,
                              results0, round_no - 1, seq_base, results_total,
                              enqueue_log, initial=True)
                 frontier, seen, states, host_state = self._reload()
+                if adm.cached is not None:
+                    # seed-candidate cache: outputs are on parquet now
+                    adm.cached.unpersist()
             else:
                 # scale mode: the loop runs from the checkpointed
                 # in-memory state (materialized by the fused stats pass
                 # above) — the initial snapshot is pure durability and
                 # its parquet write overlaps round 0's executor work
+                # seed-candidate cache freed now: frontier/seen are
+                # checkpoint-materialized and results0's own cache was
+                # filled by the fused stats pass, so nothing re-reads it
+                unp = ((results0, adm.cached) if adm.cached is not None
+                       else (results0,))
                 self._commit_async(
                     0 - 1, frontier, seen, states, host_state,
                     results0, round_no - 1, seq_base, results_total,
                     list(enqueue_log), initial=True,
-                    unpersist_after=(results0,))
+                    unpersist_after=unp)
 
         # ---------------- fixpoint rounds ----------------
         hot_thr = (0 if self.exact_order else settings.skew_salt_threshold)
@@ -1026,7 +1055,6 @@ class CrawlJob:
         value from the current round's stats."""
         from concurrent.futures import ThreadPoolExecutor
 
-        settings = self.settings
         actions = ThreadPoolExecutor(max_workers=1,
                                      thread_name_prefix="crawl-actions")
         plan = None
@@ -1246,6 +1274,15 @@ class CrawlJob:
             else:
                 hot.add(r.host)
         return n_rows, max_seq, hot
+
+    @staticmethod
+    def _migrate(df: DataFrame, defaults: dict[str, str]) -> DataFrame:
+        """Add columns that snapshots written by older engine versions
+        lack (schema evolution on resume): FRONTIER.priority,
+        STATES.att_log/hop_logs."""
+        missing = [f"{expr} as {name}" for name, expr in defaults.items()
+                   if name not in df.columns]
+        return df.selectExpr("*", *missing) if missing else df
 
     def _reload(self):
         v = self.store.versions()[-1]

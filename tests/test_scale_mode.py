@@ -59,6 +59,38 @@ def test_scale_mode_resume_is_exact(spark, tmp_path):
     assert {r.url for r in out.seen.collect()} == g.seen
 
 
+def test_snapshot_migration_adds_new_columns(spark):
+    """Snapshots written before FRONTIER.priority / STATES.att_log
+    existed must still resume: _migrate patches defaulted columns."""
+    old_frontier = spark.createDataFrame(
+        [("http://h/", "h", 1, 1, 0, 0)],
+        "url string, host string, url_key long, enqueue_seq long,"
+        " depth int, round_enqueued int")
+    out = CrawlJob._migrate(old_frontier, {"priority": "cast(0 as int)"})
+    assert "priority" in out.columns and out.collect()[0].priority == 0
+    # already-migrated frames pass through untouched
+    again = CrawlJob._migrate(out, {"priority": "cast(0 as int)"})
+    assert again.columns == out.columns
+
+
+def test_serialized_replay_requires_exact_order(spark, tmp_path):
+    """Per-host sequence windows make enqueue_seq non-unique, so the
+    serialized dequeue would silently drop rows — refuse the combo."""
+    import pytest
+
+    fx = basic_site()
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fx),
+        robots_map={h: parse_robots_txt(t) for h, t in fx.robots_txt.items()},
+        sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+        settings=CrawlSettings(
+            replay_mode="serialized",
+            request_processor_options=RequestProcessorOptions().no_delay()),
+        store_root=str(tmp_path / "state"), exact_order=False)
+    with pytest.raises(ValueError, match="serialized"):
+        job.run()
+
+
 def test_scale_mode_extras_crawled_when_seed_blocked(spark, tmp_path):
     """Scale mode precomputes round-0 frontier stats BEFORE
     extra_queue_urls join the frontier; with an all-blocking robots the
