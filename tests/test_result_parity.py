@@ -78,6 +78,24 @@ def test_crawled_content_fields_on_results(spark):
     assert leaf.page_robot_rules == []
 
 
+def test_unknown_charset_token_falls_back(spark):
+    """Real servers send garbled charset tokens ('utf8mb4', parameter
+    tails); decode must fall back to utf-8 instead of failing the
+    task with LookupError."""
+    pages = [
+        _page("http://localhost/", content_type="text/html",
+              charset="utf8mb4-bogus"),
+    ]
+    pages[0]["body"] = b"<html><body>ok</body></html>"
+    pages[0]["links"] = None
+    fx = WebFixture(name="charset_site", pages=pages, robots_txt={},
+                    sitemap_urls=[], seed_uri="http://localhost/")
+    out = crawl_fixture(spark, fx, _settings())
+    root = {r.url: r for r in out.results.collect()}["http://localhost/"]
+    assert root.status == "Crawled"
+    assert root.raw_content == "<html><body>ok</body></html>"
+
+
 def test_attempt_log_matches_scheduler(spark):
     """CrawlRequest parity (CrawledUri.cs:36-42) across retry/terminal/
     success paths, with starts spaced by the politeness delay."""
