@@ -518,6 +518,47 @@ def q_multimodal_image(spark, sf):
         .orderBy("image_id"))
 
 
+def q_multimodal_resize(spark, sf):
+    """Nearest-neighbor image resize (operators/multimodal.py::
+    image_resize) composed with a re-decode + phash of the resized
+    pixels — exercises decode → transform → re-encode end-to-end.
+    Checked against the pinned VALUES-literal oracle RESIZE_ORACLE."""
+    from infinitycrawler_spark.functions.images import (
+        encode_image,
+        expected_pixels,
+    )
+    from infinitycrawler_spark.operators.multimodal import image_resize
+
+    ids = [r.doc_id for r in _t(spark, sf, "documents")
+           .select("doc_id").orderBy("doc_id").limit(20).collect()]
+    imgs = spark.createDataFrame(
+        [(str(d), encode_image(expected_pixels(str(d), 32, 24), "rgb8-raw"),
+          "rgb8-raw") for d in ids],
+        "image_id string, bytes binary, fmt string")
+    resized = image_resize(imgs, target_w=16, target_h=12)
+
+    def add_phash(pdfs):
+        from infinitycrawler_spark.functions.images import (
+            decode_image as _dec,
+            phash64 as _ph,
+        )
+
+        for pdf in pdfs:
+            out = pdf[["image_id", "w", "h"]].copy()
+            out["n_bytes"] = [None if b is None else len(b)
+                              for b in pdf["bytes"]]
+            out["resized_phash"] = [
+                None if b is None else _ph(_dec(bytes(b))[0])
+                for b in pdf["bytes"]]
+            yield out
+
+    return (resized.mapInPandas(
+        add_phash,
+        schema="image_id string, w int, h int, n_bytes int,"
+               " resized_phash long")
+        .orderBy("image_id"))
+
+
 def q_multimodal_video(spark, sf):
     """Frame sampling over rawv clips synthesized from doc ids — one
     row per sampled frame, frames re-encoded as lossless images.
@@ -694,6 +735,33 @@ FROM (VALUES
 """
 
 
+RESIZE_ORACLE = """
+SELECT CAST(image_id AS VARCHAR) AS image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, CAST(n_bytes AS INT) AS n_bytes, CAST(resized_phash AS BIGINT) AS resized_phash
+FROM (VALUES
+  ('0', 16, 12, 588, -5279884564644428033),
+  ('1', 16, 12, 588, -5533762174673436875),
+  ('10', 16, 12, 588, -5194700868503591156),
+  ('11', 16, 12, 588, 3167544438947778600),
+  ('12', 16, 12, 588, 3440135008204010386),
+  ('13', 16, 12, 588, 5040292667026770351),
+  ('14', 16, 12, 588, -1155683249809847720),
+  ('15', 16, 12, 588, 7831162836962088973),
+  ('16', 16, 12, 588, -1768955778074281388),
+  ('17', 16, 12, 588, -1106229921332384457),
+  ('18', 16, 12, 588, -7883526128009966727),
+  ('19', 16, 12, 588, -245568852982362971),
+  ('2', 16, 12, 588, -2751158452347113408),
+  ('3', 16, 12, 588, -317854837511011462),
+  ('4', 16, 12, 588, 1267486713406272483),
+  ('5', 16, 12, 588, -6066776723959378238),
+  ('6', 16, 12, 588, -6118637088585382155),
+  ('7', 16, 12, 588, 5650012411524870999),
+  ('8', 16, 12, 588, -3722627910311098965),
+  ('9', 16, 12, 588, -7123758623811309367)
+) AS t(image_id, w, h, n_bytes, resized_phash)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return crawl_fixpoint(spark, "/root/testdata/sf0.001")
@@ -738,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
         "multimodal_image_features": q_multimodal_image,
+        "multimodal_resize": q_multimodal_resize,
         # crawl
         "crawl_frontier_expand": q_crawl_frontier_expand,
         # iterative engine loop; oracle = closed-form 3-level BFS CTE
@@ -1096,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": AUDIO_ORACLE,
         "multimodal_video_frames": VIDEO_ORACLE,
         "multimodal_image_features": IMAGE_ORACLE,
+        "multimodal_resize": RESIZE_ORACLE,
         "crawl_frontier_expand": f"""
             SELECT url, partkey FROM (
                 SELECT DISTINCT 'http://parts.shop/part/' || l_partkey AS url,

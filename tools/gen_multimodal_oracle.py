@@ -77,6 +77,13 @@ def main():
     print("IMAGE_ORACLE = \"\"\"\n" + values_sql(image, i_cols, i_casts)
           + "\n\"\"\"\n")
 
+    resize = e.q_multimodal_resize(spark, sf).collect()
+    r_cols = ["image_id", "w", "h", "n_bytes", "resized_phash"]
+    r_casts = {"image_id": "VARCHAR", "w": "INT", "h": "INT",
+               "n_bytes": "INT", "resized_phash": "BIGINT"}
+    print("RESIZE_ORACLE = \"\"\"\n" + values_sql(resize, r_cols, r_casts)
+          + "\n\"\"\"\n")
+
 
 if __name__ == "__main__":
     main()
