@@ -171,11 +171,18 @@ def _budget_admit_distributed(cands: DataFrame, base: int,
     Rejected ⟺ non-skip ∧ k ≤ sk < m. The prefix sums use the classic
     two-phase scheme: range-partition by sk, per-partition local prefix
     windows, cross-partition offsets from the tiny per-partition-total
-    collect (range partitions are ordered by key)."""
-    key = [F.col("parent_seq"), F.col("child_pos")]
+    collect (range partitions are ordered by key).
+
+    ``url`` rides the key as a deterministic tiebreaker: in scale mode
+    ``enqueue_seq`` is assigned per-host, so two parents on different
+    hosts can share (parent_seq, child_pos); without the tiebreaker the
+    boundary predicates would treat such ties as one group and could
+    reject a candidate the sequential fold admits when the budget
+    saturates exactly between two tied rows."""
+    key = [F.col("parent_seq"), F.col("child_pos"), F.col("url")]
     n_parts = max(cands.sparkSession.sparkContext.defaultParallelism, 4)
     d = (cands.select(
-            "parent_seq", "child_pos", "skip_budget",
+            "parent_seq", "child_pos", "url", "skip_budget",
             (~(F.col("has_state") & F.col("eff_success")))
             .cast("long").alias("c"))
          .repartitionByRange(n_parts, *key)
@@ -200,17 +207,21 @@ def _budget_admit_distributed(cands: DataFrame, base: int,
     if k is None:
         d.unpersist()
         return cands  # pc never equals max at a checked candidate
-    k_lit = F.struct(F.lit(int(k[0])).cast("long").alias("parent_seq"),
-                     F.lit(int(k[1])).cast("int").alias("child_pos"))
+
+    def _key_lit(row):
+        return F.struct(
+            F.lit(int(row[0])).cast("long").alias("parent_seq"),
+            F.lit(int(row[1])).cast("int").alias("child_pos"),
+            F.lit(str(row[2])).alias("url"))
+
+    k_lit = _key_lit(k)
     m = (d.filter(F.col("skip_budget") & (F.col("c") == 1)
                   & (F.struct(*key) >= k_lit))
          .agg(F.min(F.struct(*key)).alias("m")).first()["m"])
     d.unpersist()
     rejected = (~F.col("skip_budget")) & (F.struct(*key) >= k_lit)
     if m is not None:
-        m_lit = F.struct(F.lit(int(m[0])).cast("long").alias("parent_seq"),
-                         F.lit(int(m[1])).cast("int").alias("child_pos"))
-        rejected = rejected & (F.struct(*key) < m_lit)
+        rejected = rejected & (F.struct(*key) < _key_lit(m))
     return cands.filter(~rejected)
 
 
@@ -427,6 +438,16 @@ def admit(
     # 7. enqueue: deterministic sequence numbers
     enq = gated.filter(F.col("robots_ok"))
     if exact_order:
+        # guard the single-partition global window — at production scale
+        # it silently serializes the round; refuse loudly instead
+        limit = getattr(settings, "exact_order_max_candidates", 0)
+        if limit and n_admitted > limit:
+            raise ValueError(
+                f"exact_order=True admitted {n_admitted} candidates in one "
+                f"round (> exact_order_max_candidates={limit}); the global "
+                "enqueue window would run on a single partition. Use "
+                "exact_order=False for large crawls, or raise "
+                "CrawlSettings.exact_order_max_candidates deliberately.")
         w_seq = Window.orderBy(*_order())
     else:
         # scale mode: per-host FIFO is all politeness needs; avoids the

@@ -195,6 +195,10 @@ def _binary_views(arr) -> list:
     n = len(arr)
     bufs = arr.buffers()
     validity, offsets, data = bufs[0], bufs[1], bufs[2]
+    if offsets is None:
+        # an all-null column can materialize with null buffers —
+        # np.frombuffer(None) would raise and fail the task
+        return [None] * n
     dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     off = np.frombuffer(offsets, dtype=dt, count=n + 1,
                         offset=arr.offset * np.dtype(dt).itemsize)

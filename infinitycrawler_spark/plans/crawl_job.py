@@ -1058,6 +1058,7 @@ class CrawlJob:
         actions = ThreadPoolExecutor(max_workers=1,
                                      thread_name_prefix="crawl-actions")
         plan = None
+        next_plan = None
         try:
             while True:
                 if self._next_frontier_count is not None:
@@ -1134,13 +1135,16 @@ class CrawlJob:
                         lineage_delta=self._flush_lineage(),
                         unpersist_after=flushed)
                 ctx.round_no += 1
-                plan = next_plan
+                plan, next_plan = next_plan, None
         finally:
-            if plan is not None:
-                # the speculative last plan never ran: drop its cache
-                # registrations so the CacheManager doesn't accumulate
-                for df in plan.caches:
-                    df.unpersist()
+            # the speculative last plan never ran — and on the error path
+            # (fut.result()/commit join raising after next_plan was built)
+            # BOTH plans hold live cache registrations: drop them so the
+            # CacheManager doesn't accumulate for the session's lifetime
+            for p in (plan, next_plan):
+                if p is not None:
+                    for df in p.caches:
+                        df.unpersist()
             actions.shutdown(wait=True)
         return frontier, seen, states, host_state
 

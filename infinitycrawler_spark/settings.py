@@ -87,5 +87,13 @@ class CrawlSettings:
     #: Replay mode: "round" = full BSP rounds (scale mode);
     #: "serialized" = one fetch per round, exact reference FIFO replay.
     replay_mode: str = "round"
+    #: Guard rail for exact-order replay: exact_order sequences each
+    #: round's admitted candidates through a SINGLE-partition global
+    #: window (required for reference-identical enqueue numbering), which
+    #: silently serializes at production scale. Admission refuses when
+    #: one round admits more candidates than this; use exact_order=False
+    #: (per-host FIFO, fully parallel) for large crawls, or raise the
+    #: limit deliberately. 0 disables the guard.
+    exact_order_max_candidates: int = 2_000_000
     #: Validate image payloads (decode + PSNR + phash + caption) during parse.
     validate_payload: bool = True

@@ -144,4 +144,8 @@ class SnapshotStore:
                 paths.append(p)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        # deltas written before a schema upgrade (e.g. a resumed crawl over
+        # a pre-`attempts` store) lack the new nullable columns; without
+        # mergeSchema the unioned schema is inferred from an arbitrary file
+        # and the new columns nondeterministically vanish
+        return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -87,7 +87,21 @@ def sessionize_stream(stream: DataFrame, gap_s: int = 1800,
     the same events. Stragglers beyond the watermark delay merge into
     the current session instead of rewinding it (the standard
     bounded-late-data contract; state stays O(events within the
-    watermark window) per user)."""
+    watermark window) per user).
+
+    Compatibility contract (breaking changes vs the pre-buffering
+    version of this operator):
+
+    - **checkpoints are not forward-compatible** — SESSION_STATE grew
+      from 2 to 4 fields (``buf``, ``upd_seq``), so resuming a query
+      from a checkpoint written by the old operator will fail or
+      misread state. Start the upgraded query with a NEW checkpoint
+      directory.
+    - **consumers must dedupe by ``upd_seq``** — SESSION_OUT gained
+      ``upd_seq`` and update-mode sinks may retain superseded rows;
+      select the max-``upd_seq`` row per user_id (a provisional count
+      can legitimately decrease when a late event bridges two
+      provisional sessions)."""
 
     def count_sessions(key, pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:

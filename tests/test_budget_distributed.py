@@ -19,20 +19,23 @@ from infinitycrawler_spark.sources.web import pages_df
 from infinitycrawler_spark.synth.fixtures import basic_site
 
 
-def _cands_df(spark, flags):
-    rows = [(i // 7, i % 7, skip, short, short)  # has_state=short for short-circuit
-            for i, (skip, short) in enumerate(flags)]
+def _cands_df(spark, flags, keys=None):
+    # url is the deterministic tiebreaker in the distributed key; i is
+    # zero-padded so lexicographic url order == list order
+    keys = keys or [(i // 7, i % 7) for i in range(len(flags))]
+    rows = [(ps, cp, f"u{i:04d}", skip, short, short)
+            for i, ((skip, short), (ps, cp)) in enumerate(zip(flags, keys))]
     return spark.createDataFrame(
-        rows, "parent_seq long, child_pos int, skip_budget boolean,"
-              " has_state boolean, eff_success boolean")
+        rows, "parent_seq long, child_pos int, url string,"
+              " skip_budget boolean, has_state boolean, eff_success boolean")
 
 
-def _check(spark, flags, base, max_pages):
-    df = _cands_df(spark, flags)
-    got = {(r.parent_seq, r.child_pos)
+def _check(spark, flags, base, max_pages, keys=None):
+    df = _cands_df(spark, flags, keys)
+    got = {r.url
            for r in _budget_admit_distributed(df, base, max_pages).collect()}
     admitted = _budget_fold(flags, base, max_pages)
-    want = {(i // 7, i % 7) for i, a in enumerate(admitted) if a}
+    want = {f"u{i:04d}" for i, a in enumerate(admitted) if a}
     assert got == want, (flags, base, max_pages)
 
 
@@ -58,6 +61,33 @@ def test_distributed_fold_matches_sequential_fold(spark):
         base = rng.randrange(0, 5)
         max_pages = rng.randrange(1, 12)
         _check(spark, flags, base, max_pages)
+
+
+def test_distributed_fold_cross_host_seq_ties(spark):
+    """Scale mode assigns enqueue_seq per host, so two parents on
+    different hosts can share (parent_seq, child_pos). The url
+    tiebreaker must keep the boundary predicates exact when the budget
+    saturates exactly between two tied rows (ADVICE r3)."""
+    rng = random.Random(11)
+    # every row shares the same (parent_seq, child_pos) — only the url
+    # tiebreaker orders them
+    for n, base, max_pages in [(6, 0, 3), (8, 2, 5), (10, 0, 1)]:
+        flags = [(False, False)] * n
+        keys = [(5, 2)] * n
+        _check(spark, flags, base, max_pages, keys)
+    # mixed: tied groups with skips/shorts at the saturation boundary
+    for trial in range(8):
+        n = rng.randrange(2, 30)
+        flags = [(rng.random() < 0.3, rng.random() < 0.2) for _ in range(n)]
+        # few distinct keys → lots of ties; keys nondecreasing so list
+        # order == (key, url) order
+        keys, k = [], (0, 0)
+        for _ in range(n):
+            if rng.random() < 0.3:
+                k = (k[0] + rng.randrange(0, 2), rng.randrange(0, 3))
+            keys.append(k)
+        keys.sort()
+        _check(spark, flags, rng.randrange(0, 4), rng.randrange(1, 10), keys)
 
 
 def test_scale_mode_budget_no_driver_fold(spark, tmp_path, monkeypatch):
