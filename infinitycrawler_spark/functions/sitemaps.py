@@ -58,10 +58,19 @@ def parse_sitemap_text(text: str) -> SitemapFile:
 
 def parse_sitemap_xml(text: str | bytes) -> SitemapFile:
     """Parse a sitemap or sitemap-index document. Tolerant of any (or
-    no) namespace; non-XML bodies fall back to the plain-text sitemap
-    format (one URL per line — the reference's SitemapTools understands
-    both), and anything else → empty result (SitemapTools swallows
-    unparseable sitemaps)."""
+    no) namespace; gzip-compressed bodies (``sitemap.xml.gz`` — the
+    sitemaps.org format SitemapTools transparently decompresses) are
+    detected by magic bytes and inflated first; non-XML bodies fall
+    back to the plain-text sitemap format (one URL per line — the
+    reference's SitemapTools understands both), and anything else →
+    empty result (SitemapTools swallows unparseable sitemaps)."""
+    if isinstance(text, (bytes, bytearray)) and text[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            text = gzip.decompress(bytes(text))
+        except (OSError, EOFError):
+            return SitemapFile()  # truncated/corrupt gzip → empty
     if isinstance(text, (bytes, bytearray)):
         text = text.decode("utf-8", errors="replace")
     out = SitemapFile()

@@ -221,6 +221,56 @@ def test_text_sitemap_discovery_e2e(spark):
     assert by["http://localhost/from-text-sitemap.html"].status == "Crawled"
 
 
+def test_parse_gzip_sitemap():
+    """sitemap.xml.gz bodies (gzip magic bytes) are inflated before
+    XML/text dispatch (SitemapTools parity, VERDICT r3 item 4)."""
+    import gzip
+
+    s = parse_sitemap_xml(gzip.compress(URLSET.encode()))
+    assert s.urls == ["http://localhost/index.html", "http://localhost/a.html",
+                      "http://localhost/b.html"]
+    # gzipped text sitemaps too
+    s = parse_sitemap_xml(gzip.compress(b"http://localhost/t1.html\n"))
+    assert s.urls == ["http://localhost/t1.html"]
+    # truncated gzip → empty, not an exception
+    blob = gzip.compress(URLSET.encode())[:10]
+    assert parse_sitemap_xml(blob).urls == []
+
+
+def test_gzip_sitemap_discovery_e2e(spark):
+    """robots points at a .xml.gz sitemap; discovery inflates it and the
+    entry URL seeds the crawl (Crawler.cs:56 / SitemapTools parity)."""
+    import gzip
+
+    pages = [
+        _page("http://localhost/robots.txt", content_type="text/plain"),
+        _page("http://localhost/sitemap.xml.gz",
+              content_type="application/gzip"),
+        _page("http://localhost/", content_type="text/html"),
+        _page("http://localhost/from-gz-sitemap.html",
+              content_type="text/html"),
+    ]
+    bodies = {
+        "http://localhost/robots.txt":
+            b"User-agent: *\nSitemap: http://localhost/sitemap.xml.gz\n",
+        "http://localhost/sitemap.xml.gz": gzip.compress(
+            b"<urlset><url><loc>http://localhost/from-gz-sitemap.html"
+            b"</loc></url></urlset>"),
+        "http://localhost/": b"<html><body>root</body></html>",
+        "http://localhost/from-gz-sitemap.html": b"<html></html>",
+    }
+    for p in pages:
+        p["body"] = bodies[p["url"]]
+        p["links"] = None
+    fx = WebFixture(name="gz_sitemap_site", pages=pages,
+                    robots_txt={}, sitemap_urls=[],
+                    seed_uri="http://localhost/")
+    out = crawl_fixture(spark, fx, _settings(),
+                        fetch_robots=True, discover_sitemaps=True)
+    by = {r.url: r for r in out.results.collect()}
+    assert by["http://localhost/from-gz-sitemap.html"].status == "Crawled"
+
+
 def test_bytes_mode_discovery_crawl_matches_structured_golden(spark):
     out = crawl_fixture(spark, _bytes_fixture(), _settings(),
                         fetch_robots=True, discover_sitemaps=True)
