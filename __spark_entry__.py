@@ -413,11 +413,14 @@ def build_web_from_tpch(spark, sf_dir):
     ))
 
     pages = orders_pages.unionByName(part_pages).unionByName(supplier_pages)
-    seeds = [r.url for r in
-             orders_pages.filter(
+    # seeds stay a DataFrame end-to-end (CrawlJob._seed_candidates takes
+    # either; the distributed path never collects them to the driver —
+    # at 10^7+ seeds a Python list would serialize through the driver)
+    seeds = (orders_pages.filter(
                  F.split(F.col("url"), "/order/").getItem(1).cast("long")
                  <= N_SEED_ORDERS)
-             .select("url").orderBy("url").collect()]
+             .select("url"))
+    # hosts is nation-count-bounded (≤ 27), not sf-proportional
     hosts = [r.host for r in pages.select("host").distinct().collect()]
     return pages, seeds, hosts
 
