@@ -49,13 +49,18 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     return _rank_topk(scored, k)
 
 
-def lsh_bucket(col, n_planes: int = 8):
+def lsh_bucket(col, n_planes: int = 8, table: int = 0):
     """Cheap deterministic LSH bucket: bit j compares coordinates
     (2j, 2j+1) — a fixed ±1 two-coordinate hyperplane. SQL-portable
-    (element_at is 1-based in both Spark and DuckDB lists)."""
+    (element_at is 1-based in both Spark and DuckDB lists).
+    ``table`` shifts the coordinate window (table t's bit j compares
+    coordinates (2(t·n_planes+j), 2(t·n_planes+j)+1)) so multiple
+    independent hash tables draw on disjoint coordinates — the
+    OR-amplification building block. Requires dim ≥ 2·n_planes·(t+1)."""
     bucket = None
     for j in range(n_planes):
-        bit = F.when(F.element_at(col, 2 * j + 1) > F.element_at(col, 2 * j + 2),
+        p = table * n_planes + j
+        bit = F.when(F.element_at(col, 2 * p + 1) > F.element_at(col, 2 * p + 2),
                      1 << j).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
@@ -75,16 +80,32 @@ def lsh_bucket_stats(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
-                 n_planes: int = 4) -> DataFrame:
+                 n_planes: int = 4, n_tables: int = 1) -> DataFrame:
     """Approximate top-k: score only vectors sharing the query's LSH
-    bucket (the scale path: |bucket| ≪ |table|) → (vec_id, cos, rank)."""
+    bucket in AT LEAST ONE of ``n_tables`` independent hash tables
+    (the scale path: ∪buckets ≪ |table|) → (vec_id, cos, rank).
+
+    ``n_tables=1`` is classic single-bucket LSH: cheapest, but recall
+    on weakly-clustered data degrades to ≈ the bucket fraction.
+    ``n_tables=L`` OR-amplifies: a true neighbor is missed only if it
+    disagrees with the query in EVERY table, so recall rises
+    exponentially in L while candidates stay the union of L buckets
+    (recall@10 ≥ 0.9 at L=4 on a clustered corpus —
+    tests/test_ann_recall.py pins the measured number). Requires
+    dim ≥ 2·n_planes·n_tables."""
     e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    for t in range(n_tables):
+        e = e.withColumn(f"b{t}", lsh_bucket(F.col("v"), n_planes, table=t))
     q = e.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
+        F.col("v").alias("qv"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)])
+    match = None
+    for t in range(n_tables):
+        eq = F.col(f"b{t}") == F.col(f"qb{t}")
+        match = eq if match is None else match | eq
     scored = (e.filter(F.col("vec_id") != query_vec_id)
-              .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+              .join(F.broadcast(q), match)
               .select("vec_id",
                       F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
                       .alias("cos")))
