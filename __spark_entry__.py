@@ -562,9 +562,14 @@ def q_multimodal_resize(spark, sf):
             out = pdf[["image_id", "w", "h"]].copy()
             out["n_bytes"] = [None if b is None else len(b)
                               for b in pdf["bytes"]]
-            out["resized_phash"] = [
-                None if b is None else _ph(_dec(bytes(b))[0])
-                for b in pdf["bytes"]]
+            import pandas as _pd
+
+            # object dtype: a None in the batch must not coerce the
+            # 63-bit hashes to (lossy) float64
+            out["resized_phash"] = _pd.Series(
+                [None if b is None else _ph(_dec(bytes(b))[0])
+                 for b in pdf["bytes"]], dtype="object",
+                index=pdf.index)
             yield out
 
     return (resized.mapInPandas(
@@ -572,6 +577,70 @@ def q_multimodal_resize(spark, sf):
         schema="image_id string, w int, h int, n_bytes int,"
                " resized_phash long")
         .orderBy("image_id"))
+
+
+def q_multimodal_bmp(spark, sf):
+    """Image features over REAL uncompressed 24-bit BMP files (the
+    on-disk Windows format, decoded with stdlib+numpy —
+    functions/images.py::decode_bmp): exercises the codec seam on a
+    genuine file layout instead of the synthetic container (VERDICT r3
+    item 2). Includes a truncated payload pinning the typed
+    error:corrupt row. Checked against the pinned VALUES-literal
+    oracle BMP_ORACLE."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from infinitycrawler_spark.functions.images import encode_bmp, expected_pixels
+    from infinitycrawler_spark.operators.multimodal import image_features
+
+    ids = [r.doc_id for r in _t(spark, sf, "documents")
+           .select("doc_id").orderBy("doc_id").limit(20).collect()]
+    rows = [(f"bmp-{d}", encode_bmp(expected_pixels(str(d), 24, 16)), "bmp")
+            for d in ids]
+    rows.append(("bmp-zz-corrupt",
+                 encode_bmp(expected_pixels("c", 8, 8))[:30], "bmp"))
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string")
+    feats = image_features(imgs)
+    emb_norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (feats.select(
+        "image_id", "ok", "w", "h", "fmt",
+        F.round(F.element_at("mean_rgb", 1), 4).alias("mean_r"),
+        F.round(F.element_at("mean_rgb", 2), 4).alias("mean_g"),
+        F.round(F.element_at("mean_rgb", 3), 4).alias("mean_b"),
+        "phash",
+        F.round(emb_norm, 4).alias("emb_norm"))
+        .orderBy("image_id"))
+
+
+def q_multimodal_wav(spark, sf):
+    """Audio features over REAL RIFF/WAVE PCM s16 files (stdlib
+    ``wave`` decode — functions/media.py::decode_wav), mono and
+    stereo, plus a truncated payload (error:corrupt) and an mp3 row
+    (error:unsupported — codec formats stay typed errors). Checked
+    against the pinned VALUES-literal oracle WAV_ORACLE."""
+    from infinitycrawler_spark.functions.media import (
+        decode_audio,
+        encode_wav,
+        make_audio,
+    )
+    from infinitycrawler_spark.operators.multimodal import audio_features
+
+    ids = [r.doc_id for r in _t(spark, sf, "documents")
+           .select("doc_id").orderBy("doc_id").limit(20).collect()]
+    rows = []
+    for i, d in enumerate(ids):
+        ch = 2 if i % 3 == 0 else 1
+        samples, sr, ch = decode_audio(
+            make_audio(d, seconds=0.1, channels=ch))
+        rows.append((f"wav-{d}", encode_wav(samples, sr, ch), "wav"))
+    good = encode_wav(*decode_audio(make_audio("t", seconds=0.05)))
+    rows.append(("wav-zz-corrupt", good[:21], "wav"))
+    rows.append(("wav-zz-mp3", b"ID3\x04fake-mp3-frame", "mp3"))
+    clips = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, fmt string")
+    return audio_features(clips).orderBy("audio_id")
 
 
 def q_multimodal_video(spark, sf):
@@ -777,6 +846,63 @@ FROM (VALUES
 """
 
 
+
+BMP_ORACLE = """
+SELECT CAST(image_id AS VARCHAR) AS image_id, CAST(ok AS VARCHAR) AS ok, CAST(w AS INT) AS w, CAST(h AS INT) AS h, CAST(fmt AS VARCHAR) AS fmt, CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g, CAST(mean_b AS DOUBLE) AS mean_b, CAST(phash AS BIGINT) AS phash, CAST(emb_norm AS DOUBLE) AS emb_norm
+FROM (VALUES
+  ('bmp-0', 'ok', 24, 16, 'bmp', 127.2448, 127.0391, 123.8073, -5626117873134815443, 1.98),
+  ('bmp-1', 'ok', 24, 16, 'bmp', 132.7161, 136.362, 119.5573, -163724822979071574, 2.0349),
+  ('bmp-10', 'ok', 24, 16, 'bmp', 126.026, 122.8698, 124.5104, -6498082179576682391, 1.9566),
+  ('bmp-11', 'ok', 24, 16, 'bmp', 131.6146, 127.5651, 126.3802, -4040856762239936427, 2.0199),
+  ('bmp-12', 'ok', 24, 16, 'bmp', 124.7161, 132.9297, 120.4505, 7450276150552858709, 1.9788),
+  ('bmp-13', 'ok', 24, 16, 'bmp', 129.4427, 125.8594, 123.1693, 2856312047075907756, 1.9836),
+  ('bmp-14', 'ok', 24, 16, 'bmp', 124.9271, 124.5313, 126.9479, -3374603692881195214, 1.9742),
+  ('bmp-15', 'ok', 24, 16, 'bmp', 130.5781, 119.7917, 129.2786, 6855675696885514163, 1.9873),
+  ('bmp-16', 'ok', 24, 16, 'bmp', 126.6641, 123.4193, 126.763, -5081897313026507437, 1.9736),
+  ('bmp-17', 'ok', 24, 16, 'bmp', 132.9271, 128.375, 128.4922, 764674106765535216, 2.0436),
+  ('bmp-18', 'ok', 24, 16, 'bmp', 126.0781, 121.0833, 127.3307, -6049761929356678454, 1.9627),
+  ('bmp-19', 'ok', 24, 16, 'bmp', 123.2474, 123.7604, 127.7188, -7246406377139582776, 1.9626),
+  ('bmp-2', 'ok', 24, 16, 'bmp', 125.3359, 130.75, 129.1615, 4371199851443277397, 2.017),
+  ('bmp-3', 'ok', 24, 16, 'bmp', 126.5573, 125.6354, 129.0625, -4692159174536251800, 1.9977),
+  ('bmp-4', 'ok', 24, 16, 'bmp', 124.7161, 122.6042, 127.5104, 1751445521598602672, 1.9634),
+  ('bmp-5', 'ok', 24, 16, 'bmp', 127.3568, 128.2344, 131.2786, -4276214909533111675, 2.0261),
+  ('bmp-6', 'ok', 24, 16, 'bmp', 125.013, 127.9974, 125.6745, -5314059443779821899, 1.9855),
+  ('bmp-7', 'ok', 24, 16, 'bmp', 125.7656, 125.987, 123.2734, 7364744121665530919, 1.9654),
+  ('bmp-8', 'ok', 24, 16, 'bmp', 132.6458, 119.9115, 125.1068, -6950362261046240402, 1.9764),
+  ('bmp-9', 'ok', 24, 16, 'bmp', 129.9323, 128.2188, 122.3984, 5157682778868452215, 1.9923),
+  ('bmp-zz-corrupt', 'error:corrupt', NULL, NULL, 'bmp', NULL, NULL, NULL, NULL, NULL)
+) AS t(image_id, ok, w, h, fmt, mean_r, mean_g, mean_b, phash, emb_norm)
+"""
+
+WAV_ORACLE = """
+SELECT CAST(audio_id AS VARCHAR) AS audio_id, CAST(ok AS VARCHAR) AS ok, CAST(sample_rate AS INT) AS sample_rate, CAST(channels AS INT) AS channels, CAST(duration_s AS DOUBLE) AS duration_s, CAST(rms AS DOUBLE) AS rms, CAST(zero_crossing_rate AS DOUBLE) AS zero_crossing_rate, CAST(peak AS DOUBLE) AS peak
+FROM (VALUES
+  ('wav-0', 'ok', 8000, 2, 0.1, 0.3913574771485436, 0.2565707133917397, 0.579681396484375),
+  ('wav-1', 'ok', 8000, 1, 0.1, 0.1569679492928154, 0.05006257822277847, 0.246856689453125),
+  ('wav-10', 'ok', 8000, 1, 0.1, 0.4302362067821273, 0.19524405506883605, 0.646820068359375),
+  ('wav-11', 'ok', 8000, 1, 0.1, 0.2974400577865127, 0.0851063829787234, 0.4425048828125),
+  ('wav-12', 'ok', 8000, 2, 0.1, 0.31013253862117746, 0.14267834793491865, 0.46417236328125),
+  ('wav-13', 'ok', 8000, 1, 0.1, 0.41727215855802, 0.3879849812265332, 0.608245849609375),
+  ('wav-14', 'ok', 8000, 1, 0.1, 0.5382493201153816, 0.1439299123904881, 0.783355712890625),
+  ('wav-15', 'ok', 8000, 2, 0.1, 0.5282226310229864, 0.06758448060075094, 0.773345947265625),
+  ('wav-16', 'ok', 8000, 1, 0.1, 0.16950636258169785, 0.2528160200250313, 0.262451171875),
+  ('wav-17', 'ok', 8000, 1, 0.1, 0.34543773324593985, 0.3904881101376721, 0.5069580078125),
+  ('wav-18', 'ok', 8000, 2, 0.1, 0.43768455573886866, 0.14893617021276595, 0.642059326171875),
+  ('wav-19', 'ok', 8000, 1, 0.1, 0.32142050537108985, 0.20525657071339173, 0.487884521484375),
+  ('wav-2', 'ok', 8000, 1, 0.1, 0.43971997455518147, 0.45431789737171463, 0.64483642578125),
+  ('wav-3', 'ok', 8000, 2, 0.1, 0.26909645632582824, 0.24030037546933666, 0.401824951171875),
+  ('wav-4', 'ok', 8000, 1, 0.1, 0.48581459434111945, 0.3742177722152691, 0.71337890625),
+  ('wav-5', 'ok', 8000, 1, 0.1, 0.359821637016943, 0.32540675844806005, 0.5283203125),
+  ('wav-6', 'ok', 8000, 2, 0.1, 0.36235534781461975, 0.23529411764705882, 0.533172607421875),
+  ('wav-7', 'ok', 8000, 1, 0.1, 0.5069965556884235, 0.35168961201501875, 0.7423095703125),
+  ('wav-8', 'ok', 8000, 1, 0.1, 0.2746331424893732, 0.41802252816020025, 0.409576416015625),
+  ('wav-9', 'ok', 8000, 2, 0.1, 0.2873749823257477, 0.409261576971214, 0.437957763671875),
+  ('wav-zz-corrupt', 'error:corrupt', NULL, NULL, NULL, NULL, NULL, NULL),
+  ('wav-zz-mp3', 'error:unsupported:mp3', NULL, NULL, NULL, NULL, NULL, NULL)
+) AS t(audio_id, ok, sample_rate, channels, duration_s, rms, zero_crossing_rate, peak)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return crawl_fixpoint(spark, "/root/testdata/sf0.001")
@@ -823,6 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": q_multimodal_video,
         "multimodal_image_features": q_multimodal_image,
         "multimodal_resize": q_multimodal_resize,
+        # real on-disk formats (BMP / WAV) through the same operators
+        "multimodal_bmp_features": q_multimodal_bmp,
+        "multimodal_wav_features": q_multimodal_wav,
         # crawl
         "crawl_frontier_expand": q_crawl_frontier_expand,
         # iterative engine loop; oracle = closed-form 3-level BFS CTE
@@ -1222,6 +1351,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_frames": VIDEO_ORACLE,
         "multimodal_image_features": IMAGE_ORACLE,
         "multimodal_resize": RESIZE_ORACLE,
+        "multimodal_bmp_features": BMP_ORACLE,
+        "multimodal_wav_features": WAV_ORACLE,
         "crawl_frontier_expand": f"""
             SELECT url, partkey FROM (
                 SELECT DISTINCT 'http://parts.shop/part/' || l_partkey AS url,

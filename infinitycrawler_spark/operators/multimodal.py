@@ -3,11 +3,13 @@ columns with typed metadata, processed in Arrow-vectorized passes.
 
 Raw containers decode for real without any media library: synthetic
 images (functions/images.py), PCM s16 audio and raw-RGB-frame video
-(functions/media.py). Formats that need external codecs (JPEG, MP3,
-MP4 — none installed in this container) surface as typed error rows
-(or ``NotImplementedError`` at the image decode dispatch); deployment
-swaps the decode dispatch for PIL/ffmpeg with identical schemas,
-batch shapes, and feature definitions.
+(functions/media.py), plus two REAL on-disk formats the stdlib+numpy
+can handle — uncompressed 24-bit BMP and RIFF/WAVE PCM s16 — so the
+codec seam is exercised end-to-end on genuine file layouts. Formats
+that need external codecs (JPEG, MP3, MP4) dispatch to PIL when it is
+importable and surface as typed error rows otherwise; deployment
+installs PIL/ffmpeg and keeps identical schemas, batch shapes, and
+feature definitions.
 
 At 100 TB: these are narrow ``mapInPandas`` passes — no shuffle — so
 throughput scales with executors; `spark.sql.files.maxPartitionBytes`
@@ -56,15 +58,27 @@ RESIZED = StructType([
 
 
 def _decode(data: bytes, fmt: str | None) -> np.ndarray:
-    """Dispatch by format. Synthetic formats decode for real; library
-    formats are stubbed (no image libs in this container)."""
+    """Dispatch by format. Synthetic formats and uncompressed BMP
+    decode for real (stdlib+numpy); library formats dispatch to PIL
+    when it's importable and surface as typed errors otherwise."""
     if fmt in (None, "rgb8-raw", "rgb8-q"):
         pixels, _ = decode_image(data)
         return pixels
+    if fmt == "bmp":
+        from infinitycrawler_spark.functions.images import decode_bmp
+
+        return decode_bmp(data)
     if fmt in ("jpeg", "png", "webp"):
-        raise NotImplementedError(
-            f"{fmt} decode requires PIL/libvips (not in this container); "
-            "swap _decode for PIL.Image.open in deployment")
+        try:
+            from PIL import Image  # noqa: PLC0415 — optional dependency
+        except ImportError:
+            raise NotImplementedError(
+                f"{fmt} decode requires PIL/libvips (not in this "
+                "container); the dispatch below activates when PIL is "
+                "installed") from None
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(bytes(data))).convert("RGB"))
     raise ValueError(f"unknown image fmt: {fmt}")
 
 
@@ -106,7 +120,15 @@ def image_features(df: DataFrame, id_col: str = "image_id",
                     "phash": phash64(px),
                     "embedding": np.asarray(emb, dtype=np.float32),
                 })
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            if len(pdf_out):
+                # a batch mixing error rows (phash=None) with ok rows
+                # must NOT let pandas infer float64 for phash — 63-bit
+                # hashes round to multiples of 1024 under float64.
+                # object dtype keeps exact Python ints through Arrow.
+                pdf_out["phash"] = pd.Series(
+                    [r["phash"] for r in out], dtype="object")
+            yield pdf_out
 
     return cols.mapInPandas(run, schema=IMAGE_FEATURES)
 
@@ -166,12 +188,13 @@ def audio_features(df: DataFrame, id_col: str = "audio_id",
                    bytes_col: str = "bytes",
                    fmt_col: str = "fmt") -> DataFrame:
     """Decode + feature-extract per clip: duration, RMS loudness,
-    zero-crossing rate, peak — over the raw ``pcm16`` container
-    (functions/media.py), which needs no codec. Compressed formats
-    (mp3/aac/flac) yield ``error:unsupported`` rows here; in deployment
-    the decode dispatch swaps to ffmpeg/librosa with identical schema
-    and batch shape. Narrow mapInPandas — no shuffle."""
-    from infinitycrawler_spark.functions.media import decode_audio
+    zero-crossing rate, peak — over the raw ``pcm16`` container and
+    RIFF/WAVE PCM s16 (``wav`` — a real on-disk format, stdlib-decoded;
+    functions/media.py). Compressed formats (mp3/aac/flac) yield
+    ``error:unsupported`` rows here; in deployment the decode dispatch
+    swaps to ffmpeg/librosa with identical schema and batch shape.
+    Narrow mapInPandas — no shuffle."""
+    from infinitycrawler_spark.functions.media import decode_audio, decode_wav
 
     cols = df.select(id_col, bytes_col, fmt_col)
 
@@ -181,11 +204,12 @@ def audio_features(df: DataFrame, id_col: str = "audio_id",
             for audio_id, data, fmt in zip(pdf[id_col], pdf[bytes_col],
                                            pdf[fmt_col]):
                 err = None
-                if fmt not in (None, "pcm16"):
+                if fmt not in (None, "pcm16", "wav"):
                     err = f"error:unsupported:{fmt}"
                 else:
+                    dec = decode_wav if fmt == "wav" else decode_audio
                     try:
-                        samples, sr, ch = decode_audio(bytes(data))
+                        samples, sr, ch = dec(bytes(data))
                     except Exception:  # noqa: BLE001 — corrupt is data
                         err = "error:corrupt"
                 if err is not None:
