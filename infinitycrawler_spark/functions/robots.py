@@ -52,6 +52,69 @@ def rule_match_len(rule: str, path: str) -> int:
     return len(rule) if rx.match(path) else -1
 
 
+class CompiledRuleset:
+    """One host's (allow, disallow) rules compiled for per-row reuse:
+    plain prefix rules go into a character trie (one O(len(path)) walk
+    replaces n_rules startswith calls), wildcard/``$`` rules keep their
+    compiled regexes in a side list (rare in real robots files). The
+    decision is identical to the per-rule loop: longest matching rule
+    wins, Allow beats Disallow on ties.
+
+    Built once per host per executor (the matcher cache in
+    operators/admission.py), so rule-heavy hosts (1k+ rules) cost
+    compilation once instead of a full rule walk per candidate row."""
+
+    __slots__ = ("trie", "wild", "empty")
+
+    #: trie terminal markers (avoid clashing with path characters —
+    #: paths never contain NUL)
+    _A = "\0a"
+    _D = "\0d"
+
+    def __init__(self, allow, disallow):
+        self.trie: dict = {}
+        self.wild: list = []
+        n = 0
+        for rules, is_allow in ((allow, True), (disallow, False)):
+            # rules may be a numpy array (Arrow batch) — no truthiness
+            for rule in (rules if rules is not None else ()):
+                if not rule:
+                    continue
+                n += 1
+                rx = _compiled_rule(rule)
+                if rx is not None:
+                    self.wild.append((rx, len(rule), is_allow))
+                    continue
+                node = self.trie
+                for ch in rule:
+                    node = node.setdefault(ch, {})
+                node[self._A if is_allow else self._D] = True
+        self.empty = n == 0
+
+    def is_allowed(self, path: str) -> bool:
+        if self.empty:
+            return True
+        best, allowed = -1, True
+        node = self.trie
+        depth = 0
+        for ch in path:
+            node = node.get(ch)
+            if node is None:
+                break
+            depth += 1
+            if self._A in node:
+                if depth > best or (depth == best and not allowed):
+                    best, allowed = depth, True
+            elif self._D in node:
+                if depth > best:
+                    best, allowed = depth, False
+        for rx, rlen, is_allow in self.wild:
+            if rx.match(path):
+                if rlen > best or (rlen == best and is_allow and not allowed):
+                    best, allowed = rlen, is_allow
+        return allowed
+
+
 @dataclass
 class RobotsGroup:
     user_agent: str = "*"

@@ -99,33 +99,61 @@ def select_robots_group(robots_rules: DataFrame, user_agent: str) -> DataFrame:
             .drop("specific", "_rn"))
 
 
-def _robots_rules_arrays_udf(user_agent: str):
+#: executor-resident compiled-ruleset cache, keyed by host. Bounded:
+#: at the cap the whole dict drops (hosts cluster within partitions, so
+#: the refill cost is one compile per distinct host per task at worst).
+_MATCHER_CACHE: dict = {}
+_MATCHER_CACHE_MAX = 50_000
+
+
+def _matcher_for(key, allow, disallow):
+    from infinitycrawler_spark.functions.robots import CompiledRuleset
+
+    m = _MATCHER_CACHE.get(key) if key is not None else None
+    if m is None:
+        m = CompiledRuleset(allow, disallow)
+        if key is not None:
+            if len(_MATCHER_CACHE) >= _MATCHER_CACHE_MAX:
+                _MATCHER_CACHE.clear()
+            _MATCHER_CACHE[key] = m
+    return m
+
+
+def _robots_rules_arrays_udf(user_agent: str, epoch: str | None = None):
     """Vectorized RFC 9309 evaluation over per-row (allow, disallow)
     rule arrays — the robots-as-data path: rules ride a broadcast-joined
     column instead of a driver-held dict, so per-host robots scale to
-    any host count. Null arrays (host without robots.txt) → allowed."""
+    any host count. Null arrays (host without robots.txt) → allowed.
+
+    Each host's ruleset compiles ONCE per executor (prefix trie +
+    wildcard regex list, functions/robots.py::CompiledRuleset) and is
+    reused across rows/batches via an (epoch, host)-keyed cache — a
+    rule-heavy host (1k+ rules) costs an O(len(path)) trie walk per row
+    instead of a full per-rule scan (VERDICT r3 item 5; A/B in
+    BENCH/BASELINE.md). ``epoch`` scopes cache entries to one crawl
+    job: within a job a host's broadcast rules are immutable (safe to
+    reuse across rounds), while a different job reusing the same host
+    name with different rules gets a fresh compile. epoch=None
+    (direct/test calls) still compiles per batch-row miss with a
+    call-local scope: a fresh uuid per UDF build."""
+    import uuid
+
+    if epoch is None:
+        epoch = uuid.uuid4().hex
 
     @F.pandas_udf(BooleanType())
-    def allowed(allow: pd.Series, disallow: pd.Series, urls: pd.Series) -> pd.Series:
-        from infinitycrawler_spark.functions.robots import rule_match_len
+    def allowed(hosts: pd.Series, allow: pd.Series, disallow: pd.Series,
+                urls: pd.Series) -> pd.Series:
         from infinitycrawler_spark.functions.urls import path_and_query
 
         out = []
-        for al, dis, url in zip(allow, disallow, urls):
+        for host, al, dis, url in zip(hosts, allow, disallow, urls):
             if al is None and dis is None:
                 out.append(True)
                 continue
-            path = path_and_query(url)
-            best, ok = -1, True
-            for rule in (al if al is not None else []):
-                m = rule_match_len(rule, path)
-                if m > best:
-                    best, ok = m, True
-            for rule in (dis if dis is not None else []):
-                m = rule_match_len(rule, path)
-                if m > best:  # tie → Allow wins
-                    best, ok = m, False
-            out.append(ok)
+            matcher = _matcher_for(
+                (epoch, host) if host is not None else None, al, dis)
+            out.append(matcher.is_allowed(path_and_query(url)))
         return pd.Series(out, dtype="bool")
 
     return allowed
@@ -246,6 +274,7 @@ def admit(
     bloom_store=None,
     robots_rules: DataFrame | None = None,
     scope_hosts: DataFrame | None = None,
+    robots_epoch: str | None = None,
 ) -> AdmissionOutput:
     """candidates: CANDIDATES schema rows for one round, where
     ``moved_chain`` is set for redirect candidates. ``states`` must be
@@ -373,16 +402,18 @@ def admit(
 
     if robots_rules is not None:
         # robots-as-data (scale path): per-host rule arrays broadcast-
-        # joined in, RFC 9309 match vectorized over the arrays — no
-        # driver-held dict, host count unbounded
+        # joined in, RFC 9309 match vectorized via per-host compiled
+        # matchers (executor-cached) — no driver-held dict, host count
+        # unbounded
         sel = select_robots_group(robots_rules, settings.user_agent)
-        arr_udf = _robots_rules_arrays_udf(settings.user_agent)
+        arr_udf = _robots_rules_arrays_udf(settings.user_agent,
+                                           epoch=robots_epoch)
         gated = (routed.filter(F.col("route") == "gate")
                  .join(F.broadcast(sel.select("host", "allow", "disallow")),
                        "host", "left")
                  .withColumn("robots_ok",
-                             arr_udf(F.col("allow"), F.col("disallow"),
-                                     F.col("url")))
+                             arr_udf(F.col("host"), F.col("allow"),
+                                     F.col("disallow"), F.col("url")))
                  .drop("allow", "disallow"))
     else:
         allowed_udf = _robots_allowed_udf(robots_map, base_host,

@@ -148,6 +148,12 @@ class CrawlJob:
         #: boundary and cancels the in-flight Spark job group; the last
         #: committed snapshot stays valid, so run(resume=True) continues.
         self._cancel_evt = threading.Event()
+        # scopes the executor-side compiled-robots-matcher cache to this
+        # job (rules are immutable within a job; a later job reusing a
+        # host name with different rules must not hit stale matchers)
+        import uuid
+
+        self._robots_epoch = uuid.uuid4().hex
 
         ship_package(self.spark)  # executors must import this package
         if self.store_root is None:
@@ -498,7 +504,8 @@ class CrawlJob:
                         exact_order=self.exact_order,
                         lazy_counts=not precise,
                         robots_rules=self.robots_rules,
-                        scope_hosts=self._scope_hosts)
+                        scope_hosts=self._scope_hosts,
+                        robots_epoch=self._robots_epoch)
             frontier = adm.frontier_add
             seen = adm.seen_add
             results0 = adm.results.cache()
@@ -889,7 +896,8 @@ class CrawlJob:
                                  and self._n_seen >= self.bloom_min_seen
                                  else None),
                     robots_rules=self.robots_rules,
-                    scope_hosts=self._scope_hosts)
+                    scope_hosts=self._scope_hosts,
+                    robots_epoch=self._robots_epoch)
         seen_add = adm.seen_add.cache()
         _t("admit")
 

@@ -93,3 +93,74 @@ def test_page_robots_agent_scoped():
     assert evaluate_page_robots(rules, "onebot/2.1") == (False, True)
     assert evaluate_page_robots(rules, "twobot") == (True, False)
     assert evaluate_page_robots(rules, "threebot") == (True, True)
+
+
+# ---------------------------------------------- compiled matcher parity
+
+def _naive_is_allowed(allow, disallow, path):
+    """The original per-rule scan (admission.py pre-r4) — the semantic
+    reference for CompiledRuleset."""
+    from infinitycrawler_spark.functions.robots import rule_match_len
+
+    best, ok = -1, True
+    for rule in allow:
+        m = rule_match_len(rule, path)
+        if m > best:
+            best, ok = m, True
+    for rule in disallow:
+        m = rule_match_len(rule, path)
+        if m > best:  # tie → Allow wins
+            best, ok = m, False
+    return ok
+
+
+def test_compiled_ruleset_matches_naive_scan_property():
+    import random
+
+    from infinitycrawler_spark.functions.robots import CompiledRuleset
+
+    rng = random.Random(5)
+    segs = ["a", "bb", "ccc", "img", "x1", "private", "p"]
+
+    def rand_rule():
+        r = "/" + "/".join(rng.choice(segs)
+                           for _ in range(rng.randrange(1, 4)))
+        if rng.random() < 0.3:
+            i = rng.randrange(1, len(r))
+            r = r[:i] + "*" + r[i:]
+        if rng.random() < 0.2:
+            r += "$"
+        return r
+
+    for trial in range(60):
+        allow = [rand_rule() for _ in range(rng.randrange(0, 8))]
+        disallow = [rand_rule() for _ in range(rng.randrange(0, 8))]
+        m = CompiledRuleset(allow, disallow)
+        for _ in range(25):
+            path = "/" + "/".join(rng.choice(segs)
+                                  for _ in range(rng.randrange(0, 5)))
+            want = _naive_is_allowed(allow, disallow, path)
+            got = m.is_allowed(path)
+            assert got == want, (allow, disallow, path, got, want)
+
+
+def test_compiled_ruleset_directed_cases():
+    from infinitycrawler_spark.functions.robots import CompiledRuleset
+
+    # allow wins equal-length tie, trie vs trie
+    m = CompiledRuleset(["/a/b"], ["/a/b"])
+    assert m.is_allowed("/a/b/c")
+    # longer disallow beats shorter allow
+    m = CompiledRuleset(["/a"], ["/a/b"])
+    assert m.is_allowed("/a/x") and not m.is_allowed("/a/b/x")
+    # wildcard disallow vs plain allow, lengths counted as written
+    m = CompiledRuleset(["/img"], ["/*.png$"])
+    assert not m.is_allowed("/x.png")      # only wildcard matches
+    # /img (len 4) < /*.png$ (len 7, wildcards counted as written) →
+    # the disallow wins even though the allow also matches
+    assert not m.is_allowed("/img.png")
+    assert m.is_allowed("/img.png") == _naive_is_allowed(
+        ["/img"], ["/*.png$"], "/img.png")
+    # empty ruleset allows everything
+    assert CompiledRuleset([], []).is_allowed("/anything")
+    assert CompiledRuleset(None, None).is_allowed("/anything")
