@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 scaling campaign: interleaved local pairs (bench_scaling) and
+# multi-JVM cluster pairs (bench_cluster) on the m60 crawl workload.
+# One JSON line per run → BENCH/campaign_r4.jsonl
+set -e
+cd /root/repo
+OUT=BENCH/campaign_r4.jsonl
+SF=/root/testdata/sf0.01
+REPS=${1:-3}
+
+echo "== local pairs (local[2] vs local[8], m60) =="
+for rep in $(seq 1 "$REPS"); do
+  for cpus in 2 8; do
+    echo "--- local rep $rep cpus $cpus"
+    timeout 900 python tools/bench_scaling.py "$cpus" "$SF" 60 2>/dev/null \
+      | tail -1 | sed "s/^{/{\"rep\": $rep, /" >> "$OUT"
+  done
+done
+
+echo "== cluster pairs (1x2-core vs 4x2-core executor JVMs, m60) =="
+bash tools/cluster.sh stop || true
+bash tools/cluster.sh start 4 2 12g
+trap 'bash tools/cluster.sh stop' EXIT
+for rep in $(seq 1 "$REPS"); do
+  for cores in 2 8; do
+    echo "--- cluster rep $rep cores.max $cores"
+    timeout 900 python tools/bench_cluster.py "$cores" "$SF" 60 2>/dev/null \
+      | tail -1 | sed "s/^{/{\"rep\": $rep, /" >> "$OUT"
+  done
+done
+echo "campaign done -> $OUT"
