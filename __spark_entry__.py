@@ -234,6 +234,46 @@ def q_dedup_embedding_cosine(spark, sf):
     return embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
 
 
+def q_dedup_components(spark, sf):
+    """MinHash-LSH pairs closed into connected components (min-label
+    propagation fixpoint) → near-duplicate clusters with sizes. Oracle:
+    the same pairs SQL + a recursive-CTE transitive closure."""
+    from infinitycrawler_spark.operators.graph import minhash_components
+    return minhash_components(_t(spark, sf, "documents"),
+                              k=8, bands=4, shingle_n=3)
+
+
+def q_link_pagerank(spark, sf):
+    """PageRank (5 power iterations, d=0.85) over a cyclic link graph
+    derived from the TPC-H tables: customer→order→part→supplier→nation→
+    customer. Oracle: the identical formula unrolled as 5 chained CTEs.
+    Ranks rounded to 9 dp (values are O(1/N); fp sum-order noise is
+    ~1e-17, far below the rounding quantum)."""
+    from infinitycrawler_spark.operators.graph import pagerank
+
+    def tag(p, col):
+        return F.concat(F.lit(p), F.col(col).cast("string"))
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    active = o.select(F.col("o_custkey").alias("ck")).distinct()
+    edges = (o.select(tag("c", "o_custkey").alias("src"),
+                      tag("o", "o_orderkey").alias("dst"))
+             .union(li.select(tag("o", "l_orderkey"), tag("p", "l_partkey")))
+             .union(li.select(tag("p", "l_partkey"), tag("s", "l_suppkey")))
+             .union(su.select(tag("s", "s_suppkey"), tag("n", "s_nationkey")))
+             # nation links only to customers that have orders, so every
+             # customer node has out-edges (no dangling mass on the cycle)
+             .union(c.join(active, c.c_custkey == F.col("ck"))
+                    .select(tag("n", "c_nationkey"), tag("c", "c_custkey")))
+             .distinct())
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return (pr.select("id", F.round("rank", 9).alias("rank_r"))
+            .orderBy(F.desc("rank_r"), "id").limit(20))
+
+
 def q_ann_bruteforce_topk(spark, sf):
     from infinitycrawler_spark.operators.similarity import cosine_topk
     return cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
@@ -932,6 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # graph ops (iterative joins; exact SQL oracles)
+        "dedup_components": q_dedup_components,
+        "link_pagerank": q_link_pagerank,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -957,6 +1000,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative engine loop; oracle = closed-form 3-level BFS CTE
         "crawl_fixpoint": crawl_fixpoint,
     }
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """The q_link_pagerank formula unrolled as chained CTEs (recursive
+    CTEs cannot aggregate in the recursive term). Literal arithmetic is
+    forced to DOUBLE so the fp ops are bit-identical to the Spark side:
+    (1.0-0.85) computed in double on both engines, not decimal."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+            p{i} AS (
+                SELECT nd.id,
+                       (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(sum(p.rank / d.deg), 0) AS rank
+                FROM nodes nd
+                LEFT JOIN edges e ON e.dst = nd.id
+                LEFT JOIN p{i - 1} p ON p.id = e.src
+                LEFT JOIN outdeg d ON d.src = e.src
+                GROUP BY nd.id)""")
+    return f"""
+            WITH edges AS (
+                SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst
+                FROM orders
+                UNION SELECT 'o' || l_orderkey, 'p' || l_partkey FROM lineitem
+                UNION SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem
+                UNION SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+                UNION SELECT 'n' || c_nationkey, 'c' || c_custkey
+                      FROM customer
+                      WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+            nodes AS (SELECT src AS id FROM edges
+                      UNION SELECT dst FROM edges),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            p0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+                   FROM nodes),{",".join(steps)}
+            SELECT id, round(rank, 9) AS rank_r FROM p{iters}
+            ORDER BY rank_r DESC, id LIMIT 20
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1096,6 +1177,40 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         """,
+        "dedup_components": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS sh
+                FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) t(i)),
+            salted AS (
+                SELECT doc_id, salt, min(md5(salt || ':' || sh)) AS mh
+                FROM shingles, unnest(generate_series(0, 7)) s(salt)
+                GROUP BY doc_id, salt),
+            banded AS (
+                SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+                       string_agg(salt || '=' || mh, '|' ORDER BY salt || '=' || mh) AS sig
+                FROM salted GROUP BY doc_id, 2),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            sym AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+                SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) t
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+            comp AS (
+                SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+            SELECT doc_id, component,
+                   CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                       AS comp_size
+            FROM comp ORDER BY doc_id
+        """,
+        "link_pagerank": _pagerank_oracle_sql(5),
         "dedup_simhash": """
             WITH hashed AS (
                 SELECT doc_id,
