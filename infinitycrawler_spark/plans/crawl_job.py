@@ -109,6 +109,14 @@ class CrawlJob:
     #: the join's HashPartitioning requirement; only the small attempt
     #: side exchanges)
     copartition_pages: bool = True
+    #: storage level for the co-partitioned pages cache. None = Spark's
+    #: DataFrame default (MEMORY_AND_DESERIALIZED). "DISK_ONLY" keeps
+    #: the cache as serialized columnar batches in spark.local.dir —
+    #: on multi-executor clusters a remote executor then streams the
+    #: bytes (zero-copy netty file region) instead of the block owner
+    #: re-serializing an in-heap block per request, and with
+    #: spark.local.dir on tmpfs the local-read penalty is small
+    pages_storage_level: str | None = None
     #: per-host lineage deltas (round, host, fetched, links, enqueued)
     collect_lineage: bool = True
     #: fetch the base host's robots.txt from the crawl table at startup
@@ -189,8 +197,14 @@ class CrawlJob:
                                has_body=self._has_body,
                                has_encoding="content_encoding"
                                in self.pages.columns)]))
-            self.pages = (self.pages.select(*needed)
-                          .repartition(self._n_parts, "url").persist())
+            repart = self.pages.select(*needed).repartition(
+                self._n_parts, "url")
+            if self.pages_storage_level:
+                from pyspark import StorageLevel
+                self.pages = repart.persist(
+                    getattr(StorageLevel, self.pages_storage_level))
+            else:
+                self.pages = repart.persist()
             # materialize the partitioned pages NOW: ingest partitioning
             # is a one-time cost (amortized over the whole crawl), and
             # leaving the persist lazy would otherwise charge the full

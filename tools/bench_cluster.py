@@ -22,8 +22,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def cluster_spark(app: str, cores_max: int, executor_cores: int = 2,
+def cluster_spark(app: str, cores_max: int, executor_cores: int | None = None,
                   n_parts: int | None = None):
+    executor_cores = executor_cores or int(
+        os.environ.get("BENCH_EXEC_CORES", "2"))
     from pyspark.sql import SparkSession
 
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
@@ -45,6 +47,22 @@ def cluster_spark(app: str, cores_max: int, executor_cores: int = 2,
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # all executors share this host, so the default 3s locality.wait
+        # stalls every taskset that prefers another executor's cached
+        # block and then fetches it over loopback anyway (measured 2x
+        # end-to-end slowdown at m60). A short wait beats both 0s
+        # (pure slot-stealing → all reads remote) and 2s (stalls
+        # without locality wins — each 2-core executor can't drain its
+        # own 8 cached partitions fast enough): A/B in
+        # BENCH/campaign_r4.jsonl / BASELINE.md round-4 §3.
+        .config("spark.locality.wait",
+                os.environ.get("BENCH_LOCALITY_WAIT", "500ms"))
+        # keep the process-level wait pinned to the same value: every
+        # executor on this host is NODE_LOCAL for every cached block,
+        # so only PROCESS_LOCAL placement avoids the netty transfer
+        # from the neighbouring executor JVM.
+        .config("spark.locality.wait.process",
+                os.environ.get("BENCH_LOCALITY_WAIT_PROCESS", "500ms"))
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -60,7 +78,7 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     mirrors = int(sys.argv[3]) if len(sys.argv) > 3 else 60
     validate = os.environ.get("BENCH_VALIDATE_PAYLOAD", "1") == "1"
-    n_parts = int(os.environ.get("BENCH_PARTS", max(cores_max, 16)))
+    n_parts = int(os.environ.get("BENCH_PARTS", "32"))
 
     from pyspark.sql import functions as F
 
@@ -72,15 +90,26 @@ def main():
     spark = cluster_spark(f"bench-cluster-{cores_max}", cores_max,
                           n_parts=n_parts)
     spark.sparkContext.setLogLevel("ERROR")
-    n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
-
-    pages = mirrored_web(spark, sf_dir, mirrors)
-    if validate:
-        from infinitycrawler_spark.synth.payload import with_real_payload
-        pages = with_real_payload(pages, w=32, h=24, fmt="rgb8-q")
-    pages = pages.persist()
+    # Input comes from tmpfs parquet, not an executor-cached DataFrame:
+    # a persist()ed web gives the 1-executor arm every block in-heap
+    # while the 4-executor arm remote-fetches 3/4 of them — an
+    # asymmetry a real cluster doesn't have (input lives on shared
+    # storage there, and a 10^10-URL web doesn't fit in cache anyway).
+    # Both arms scanning the same tmpfs files keeps the N-vs-4N ratio
+    # honest. Built once per (sf, mirrors); reused across arms/reps.
+    web_path = f"/dev/shm/bench_cluster_web_m{mirrors}.parquet"
+    if not os.path.exists(web_path):
+        pages_build = mirrored_web(spark, sf_dir, mirrors)
+        if validate:
+            from infinitycrawler_spark.synth.payload import with_real_payload
+            pages_build = with_real_payload(pages_build, w=32, h=24,
+                                            fmt="rgb8-q")
+        pages_build.repartition(16).write.mode("overwrite").parquet(web_path)
+    pages = spark.read.parquet(web_path)
     seeds_df = pages.filter(F.col("url").like("%/order/%")).select("url")
     n_seeds = seeds_df.count()
+    # probe AFTER the first action so executors have registered
+    n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
 
     hosts = [r.host for r in pages.select("host").distinct().collect()]
     settings = CrawlSettings(
@@ -93,6 +122,8 @@ def main():
         sitemap_urls=seeds_df, seed_uri="http://nation00-m0.shop/",
         settings=settings, collect_enqueue_log=False, exact_order=False,
         snapshot_every=100, eager_checkpoint=False,
+        pages_storage_level=os.environ.get(
+            "BENCH_PAGES_STORAGE", "DISK_ONLY") or None,
         store_root=tempfile.mkdtemp(prefix=f"bench_cluster_{cores_max}_",
                                     dir="/dev/shm"))
     t0 = time.time()
