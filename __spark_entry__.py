@@ -234,6 +234,27 @@ def q_dedup_embedding_cosine(spark, sf):
     return embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
 
 
+def q_dedup_phash(spark, sf):
+    """Perceptual-hash near-dup pairs over the image+caption table shape
+    (BASELINE.json input_hint). phash is synthesized deterministically
+    from doc_id (multiply-add mod 2^62 — identical long arithmetic in
+    Spark and DuckDB, no overflow at any SF); every 7th image gets a
+    planted near-dup at Hamming distance 2 (xor 9). Banded Hamming-LSH
+    with bands=threshold+1 is lossless, so Spark and the oracle agree
+    exactly."""
+    from infinitycrawler_spark.operators.dedup import phash_dup_pairs
+    d = _t(spark, sf, "documents").select("doc_id")
+    ph = (F.col("doc_id") * F.lit(1099511628211) + F.lit(2654435761)
+          ) % F.lit(4611686018427387904)
+    base = d.select(F.col("doc_id").alias("image_id"),
+                    ph.alias("phash"))
+    planted = (d.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1000000).alias("image_id"),
+                       ph.bitwiseXOR(F.lit(9)).alias("phash")))
+    return (phash_dup_pairs(base.unionByName(planted), threshold=3)
+            .orderBy("image_a", "image_b"))
+
+
 def q_dedup_components(spark, sf):
     """MinHash-LSH pairs closed into connected components (min-label
     propagation fixpoint) → near-duplicate clusters with sizes. Oracle:
@@ -972,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_phash": q_dedup_phash,
         # graph ops (iterative joins; exact SQL oracles)
         "dedup_components": q_dedup_components,
         "link_pagerank": q_link_pagerank,
@@ -1176,6 +1198,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """,
+        "dedup_phash": """
+            WITH ph AS (
+                SELECT doc_id,
+                       (doc_id * 1099511628211 + 2654435761)
+                           % 4611686018427387904 AS phash
+                FROM documents),
+            images AS (
+                SELECT doc_id AS image_id, phash FROM ph
+                UNION ALL
+                SELECT doc_id + 1000000, xor(phash, 9)
+                FROM ph WHERE doc_id % 7 = 0),
+            chunks AS (
+                SELECT image_id, phash, i AS band,
+                       (phash >> (16 * i)) & 65535 AS chunk
+                FROM images, unnest(generate_series(0, 3)) t(i)),
+            cand AS (
+                SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+                       a.phash AS ph_a, b.phash AS ph_b
+                FROM chunks a JOIN chunks b
+                  ON a.band = b.band AND a.chunk = b.chunk
+                 AND a.image_id < b.image_id)
+            SELECT image_a, image_b,
+                   CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+            ORDER BY image_a, image_b
         """,
         "dedup_components": """
             WITH RECURSIVE words AS (

@@ -145,6 +145,62 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def phash_dup_pairs(images: DataFrame, threshold: int = 3,
+                    bands: int | None = None, id_col: str = "image_id",
+                    phash_col: str = "phash") -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs over the image+caption
+    table shape (image_id, bytes, w, h, fmt, caption, phash:int64) →
+    (image_a, image_b, hamming), image_a < image_b.
+
+    Banded Hamming-LSH: the 64-bit phash is split into ``bands``
+    contiguous bit chunks; images sharing any (band, chunk) value are
+    candidates, then the exact filter ``bit_count(a XOR b) <= threshold``
+    runs only on candidates. With ``bands >= threshold + 1`` (the
+    default) the blocking is LOSSLESS by pigeonhole — a pair within
+    Hamming distance t differs in at most t chunks, so it must agree on
+    at least one of t+1 disjoint chunks — unlike MinHash banding this
+    finds EVERY qualifying pair, no recall loss.
+
+    Scale: the self-join key is (band, chunk); with 64/bands-bit chunks
+    a hot chunk value (e.g. a solid-color phash plateau) is the skew
+    risk — AQE skew-join handles moderate cases, and candidate pairs
+    are generated per-band then de-duplicated, never all-pairs. Pure
+    JVM expressions (shift/mask/xor/bit_count), exact SQL oracle."""
+    if bands is None:
+        # any bands >= threshold+1 keeps the pigeonhole guarantee; round
+        # up to the next power of two so the chunks tile 64 bits evenly
+        bands = 1
+        while bands < threshold + 1:
+            bands *= 2
+    if not 1 <= bands <= 64 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    ph = F.col(phash_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(ph, i * width)
+            .bitwiseAND(F.lit(mask)).alias("chunk"))
+        for i in range(bands)])
+    ex = (images.select(F.col(id_col).alias("id"), ph.alias("ph"),
+                        F.explode(chunks).alias("bc"))
+          .select("id", "ph", "bc.band", "bc.chunk"))
+    a = ex.select(F.col("id").alias("image_a"), F.col("ph").alias("ph_a"),
+                  "band", "chunk")
+    b = ex.select(F.col("id").alias("image_b"), F.col("ph").alias("ph_b"),
+                  "band", "chunk")
+    cand = (a.join(b, ["band", "chunk"])
+            .filter(F.col("image_a") < F.col("image_b"))
+            .select("image_a", "image_b", "ph_a", "ph_b").distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                        .cast("int"))
+            .filter(F.col("hamming") <= threshold)
+            .select("image_a", "image_b", "hamming"))
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                         n_planes: int = 8) -> DataFrame:
     """Near-duplicate same-label embedding pairs by cosine ≥ threshold,

@@ -1,0 +1,64 @@
+"""phash_dup_pairs: banded Hamming-LSH over the image+caption table
+shape (BASELINE.json input_hint). The banding guarantee (bands =
+threshold+1 → lossless by pigeonhole) is exercised by a brute-force
+oracle over adversarial phashes, including a pair whose differing bits
+span three different chunks; the sf-level DuckDB parity is covered by
+the driver's `dedup_phash` oracle.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from infinitycrawler_spark.operators.dedup import phash_dup_pairs
+
+
+def _images(spark, rows):
+    return spark.createDataFrame(
+        [(i, ph) for i, ph in rows], "image_id long, phash long")
+
+
+def _brute(rows, t):
+    out = []
+    for (ia, pa), (ib, pb) in itertools.combinations(sorted(rows), 2):
+        h = bin(pa ^ pb).count("1")
+        if h <= t:
+            out.append((ia, ib, h))
+    return sorted(out)
+
+
+def test_phash_pairs_match_bruteforce(spark):
+    # diffs spread across chunks: 0/1 same, 2 flips one bit in chunk 0,
+    # 3 flips bits in chunks 0+1+3 (hamming 3 — pigeonhole forces the
+    # agreeing chunk 2 to catch it), 4 is far from everything
+    base = 0x123456789ABCDEF
+    rows = [
+        (0, base),
+        (1, base),                                     # exact dup (h=0)
+        (2, base ^ 0x4),                               # h=1, chunk 0
+        (3, base ^ 0x8 ^ (1 << 20) ^ (1 << 60)),       # h=3, 3 chunks
+        (4, base ^ 0xFFFF_FFFF),                       # h=32
+    ]
+    got = sorted(
+        (r.image_a, r.image_b, r.hamming)
+        for r in phash_dup_pairs(_images(spark, rows), threshold=3).collect())
+    assert got == _brute(rows, 3)
+    assert (0, 3, 3) in got  # the 3-chunk-spread pair was not missed
+
+
+def test_phash_threshold_and_bands_validation(spark):
+    rows = [(0, 0), (1, 0b11)]  # hamming 2
+    df = _images(spark, rows)
+    assert phash_dup_pairs(df, threshold=1).count() == 0
+    assert phash_dup_pairs(df, threshold=2).count() == 1
+    with pytest.raises(ValueError, match="divide 64"):
+        phash_dup_pairs(df, threshold=3, bands=5)
+
+
+def test_phash_negative_phash_uses_logical_shift(spark):
+    # a real int64 phash can be negative; chunking must be logical, and
+    # the pair must still be found with all-ones upper bits
+    rows = [(0, -1), (1, -1 ^ 0b101)]  # hamming 2
+    got = phash_dup_pairs(_images(spark, rows), threshold=3).collect()
+    assert [(r.image_a, r.image_b, r.hamming) for r in got] == [(0, 1, 2)]
