@@ -56,6 +56,41 @@ def test_phash_threshold_and_bands_validation(spark):
         phash_dup_pairs(df, threshold=3, bands=5)
 
 
+def test_phash_dedup_over_decoded_bmps_end_to_end(spark):
+    # real codec seam -> phash -> banded Hamming-LSH, end to end: encode
+    # 16x16 BMPs whose 2x2 blocks map 1:1 onto the 8x8 average-hash
+    # grid (0/255 contrast keeps every bit far from the threshold), so
+    # the expected Hamming distances are exact by construction
+    import numpy as np
+
+    from infinitycrawler_spark.functions.images import encode_bmp
+    from infinitycrawler_spark.operators.multimodal import image_features
+
+    def bmp(bits):
+        px = np.zeros((16, 16, 3), np.uint8)
+        for i in range(8):
+            for j in range(8):
+                if bits[i][j]:
+                    px[2 * i:2 * i + 2, 2 * j:2 * j + 2] = 255
+        return encode_bmp(px)
+
+    checker = [[(i + j) % 2 == 0 for j in range(8)] for i in range(8)]
+    near = [row[:] for row in checker]
+    near[0][0] = not near[0][0]                     # one block flipped
+    far = [[not b for b in row] for row in checker]  # all 64 bits flipped
+    df = spark.createDataFrame(
+        [("a", bmp(checker), "bmp"), ("b", bmp(checker), "bmp"),
+         ("c", bmp(near), "bmp"), ("d", bmp(far), "bmp")],
+        "image_id string, bytes binary, fmt string")
+    feats = image_features(df)
+    assert feats.filter(F.col("ok") != "ok").count() == 0
+    got = sorted(
+        (r.image_a, r.image_b, r.hamming)
+        for r in phash_dup_pairs(
+            feats.select("image_id", "phash"), threshold=3).collect())
+    assert got == [("a", "b", 0), ("a", "c", 1), ("b", "c", 1)]
+
+
 def test_phash_negative_phash_uses_logical_shift(spark):
     # a real int64 phash can be negative; chunking must be logical, and
     # the pair must still be found with all-ones upper bits
