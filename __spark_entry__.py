@@ -255,6 +255,28 @@ def q_dedup_phash(spark, sf):
             .orderBy("image_a", "image_b"))
 
 
+def q_dedup_phash_components(spark, sf):
+    """Image near-dup clusters: the dedup_phash pairs closed into
+    connected components (keep-one-per-cluster on the image axis;
+    keeper = the row where image_id == component). Oracle: the pairs
+    SQL closed by a recursive-CTE transitive closure."""
+    from infinitycrawler_spark.operators.graph import connected_components
+    from infinitycrawler_spark.operators.dedup import phash_dup_pairs
+    d = _t(spark, sf, "documents").select("doc_id")
+    ph = (F.col("doc_id") * F.lit(1099511628211) + F.lit(2654435761)
+          ) % F.lit(4611686018427387904)
+    base = d.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
+    planted = (d.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1000000).alias("image_id"),
+                       ph.bitwiseXOR(F.lit(9)).alias("phash")))
+    pairs = phash_dup_pairs(base.unionByName(planted), threshold=3)
+    comp = connected_components(pairs, src="image_a", dst="image_b")
+    w = Window.partitionBy("component")
+    return (comp.select(F.col("id").alias("image_id"), "component",
+                        F.count("*").over(w).cast("long").alias("comp_size"))
+            .orderBy("image_id"))
+
+
 def q_dedup_components(spark, sf):
     """MinHash-LSH pairs closed into connected components (min-label
     propagation fixpoint) → near-duplicate clusters with sizes. Oracle:
@@ -994,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_phash": q_dedup_phash,
+        "dedup_phash_components": q_dedup_phash_components,
         # graph ops (iterative joins; exact SQL oracles)
         "dedup_components": q_dedup_components,
         "link_pagerank": q_link_pagerank,
@@ -1224,6 +1247,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
             ORDER BY image_a, image_b
+        """,
+        "dedup_phash_components": """
+            WITH RECURSIVE ph AS (
+                SELECT doc_id,
+                       (doc_id * 1099511628211 + 2654435761)
+                           % 4611686018427387904 AS phash
+                FROM documents),
+            images AS (
+                SELECT doc_id AS image_id, phash FROM ph
+                UNION ALL
+                SELECT doc_id + 1000000, xor(phash, 9)
+                FROM ph WHERE doc_id % 7 = 0),
+            chunks AS (
+                SELECT image_id, phash, i AS band,
+                       (phash >> (16 * i)) & 65535 AS chunk
+                FROM images, unnest(generate_series(0, 3)) t(i)),
+            pairs AS (
+                SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b
+                FROM chunks a JOIN chunks b
+                  ON a.band = b.band AND a.chunk = b.chunk
+                 AND a.image_id < b.image_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+            sym AS (
+                SELECT image_a AS u, image_b AS v FROM pairs
+                UNION SELECT image_b, image_a FROM pairs),
+            reach AS (
+                SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) t
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+            comp AS (
+                SELECT u AS image_id, min(v) AS component FROM reach GROUP BY u)
+            SELECT image_id, component,
+                   CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                       AS comp_size
+            FROM comp ORDER BY image_id
         """,
         "dedup_components": """
             WITH RECURSIVE words AS (
