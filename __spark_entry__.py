@@ -277,6 +277,39 @@ def q_dedup_phash_components(spark, sf):
             .orderBy("image_id"))
 
 
+def _pairs_table(spark, sf, caption_expr):
+    """The BASELINE.json input_hint table shape (image_id, w, h,
+    caption, ...), synthesised deterministically from documents —
+    metadata-only (bytes never materialised: these operators must
+    prune it anyway)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return d.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        (F.lit(16) + (F.col("doc_id") % 97) * 8).cast("int").alias("w"),
+        (F.lit(16) + (F.col("doc_id") % 53) * 8).cast("int").alias("h"),
+        caption_expr.alias("caption"))
+
+
+def q_pairs_quality_filter(spark, sf):
+    """LAION-style image+caption metadata gate (operators/pairs.py):
+    resolution / aspect / caption-token / junk-caption rules as pure
+    integer JVM expressions, first failing rule reported."""
+    from infinitycrawler_spark.operators.pairs import pair_quality_filter
+    cap = (F.when(F.col("doc_id") % 31 == 0, F.lit("12345 678"))
+           .otherwise(F.expr("substr(text, 1, CAST(doc_id % 100 AS INT))")))
+    return (pair_quality_filter(_pairs_table(spark, sf, cap), max_tokens=12)
+            .orderBy("image_id"))
+
+
+def q_pairs_caption_dedup(spark, sf):
+    """Same-caption keep-best-image dedup (operators/pairs.py):
+    keeper = highest w*h, ties to smallest image_id."""
+    from infinitycrawler_spark.operators.pairs import caption_dedup
+    cap = F.concat(F.lit("a photo of item "),
+                   (F.col("doc_id") % 211).cast("string"))
+    return caption_dedup(_pairs_table(spark, sf, cap)).orderBy("caption")
+
+
 def q_dedup_components(spark, sf):
     """MinHash-LSH pairs closed into connected components (min-label
     propagation fixpoint) → near-duplicate clusters with sizes. Oracle:
@@ -1017,6 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_phash": q_dedup_phash,
         "dedup_phash_components": q_dedup_phash_components,
+        # image+caption pair curation (payload-axis, input_hint shape)
+        "pairs_quality_filter": q_pairs_quality_filter,
+        "pairs_caption_dedup": q_pairs_caption_dedup,
         # graph ops (iterative joins; exact SQL oracles)
         "dedup_components": q_dedup_components,
         "link_pagerank": q_link_pagerank,
@@ -1247,6 +1283,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
             ORDER BY image_a, image_b
+        """,
+        "pairs_quality_filter": """
+            WITH pairs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                       CAST(16 + (doc_id % 97) * 8 AS INT) AS w,
+                       CAST(16 + (doc_id % 53) * 8 AS INT) AS h,
+                       CASE WHEN doc_id % 31 = 0 THEN '12345 678'
+                            ELSE substr(text, 1, CAST(doc_id % 100 AS INT))
+                       END AS caption
+                FROM documents),
+            scored AS (
+                SELECT image_id, w, h, caption,
+                       CAST(len(list_filter(string_split(caption, ' '),
+                                            x -> x <> '')) AS INT) AS n_tokens
+                FROM pairs),
+            verdict AS (
+                SELECT image_id, w, h, n_tokens,
+                       CASE WHEN least(w, h) < 64 THEN 'too_small'
+                            WHEN greatest(w, h) > 3 * least(w, h)
+                                THEN 'extreme_aspect'
+                            WHEN n_tokens < 2 THEN 'caption_short'
+                            WHEN n_tokens > 12 THEN 'caption_long'
+                            WHEN NOT regexp_matches(caption, '[A-Za-z]')
+                                THEN 'caption_junk'
+                       END AS reject_reason
+                FROM scored)
+            SELECT image_id, w, h, n_tokens,
+                   reject_reason IS NULL AS keep, reject_reason
+            FROM verdict ORDER BY image_id
+        """,
+        "pairs_caption_dedup": """
+            WITH pairs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                       CAST(16 + (doc_id % 97) * 8 AS INT) AS w,
+                       CAST(16 + (doc_id % 53) * 8 AS INT) AS h,
+                       'a photo of item ' || CAST(doc_id % 211 AS VARCHAR)
+                           AS caption
+                FROM documents),
+            ranked AS (
+                SELECT image_id, caption,
+                       CAST(w AS BIGINT) * CAST(h AS BIGINT) AS pixels,
+                       row_number() OVER (PARTITION BY caption
+                           ORDER BY CAST(w AS BIGINT) * CAST(h AS BIGINT)
+                                    DESC, image_id) AS rn,
+                       CAST(count(*) OVER (PARTITION BY caption) AS BIGINT)
+                           AS n_dups
+                FROM pairs)
+            SELECT image_id, caption, n_dups, pixels AS best_pixels
+            FROM ranked WHERE rn = 1 ORDER BY caption
         """,
         "dedup_phash_components": """
             WITH RECURSIVE ph AS (
