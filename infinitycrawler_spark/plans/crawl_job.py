@@ -88,6 +88,12 @@ class CrawlJob:
     exact_order: bool = True
     collect_enqueue_log: bool = True
     snapshot_every: int = 3               # parquet-commit cadence (rounds)
+    #: keep only the newest N versions' full-state tables (0 = keep all).
+    #: Expired versions keep their manifests + append-only results/lineage
+    #: deltas (reads unchanged) but stop being resume points — Iceberg
+    #: expire_snapshots semantics (state/store.py). On a long crawl this
+    #: bounds store size at O(keep · state + total deltas).
+    keep_snapshots: int = 0
     eager_checkpoint: bool = True         # materialize round state eagerly
     use_bloom: bool = True                # Bloom pre-filter for the seen set
     #: per-BUCKET capacity of the sharded seen-Bloom (state/bloom_store);
@@ -1278,6 +1284,10 @@ class CrawlJob:
                   "results_total": results_total,
                   "enqueue_log": enqueue_log if self.collect_enqueue_log else []},
         )
+        if self.keep_snapshots > 0:
+            # runs on the commit thread in async mode — expiry IO never
+            # touches the round loop's critical path
+            self.store.expire_snapshots(self.keep_snapshots)
 
     def _frontier_stats(
         self, frontier: DataFrame, hot_threshold: int,

@@ -123,6 +123,44 @@ class SnapshotStore:
         os.rename(tmp, vdir)
         return manifest
 
+    # ---------------------------------------------------------- expire
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: drop the full-state
+        tables and blobs of all but the newest ``keep_last`` committed
+        versions, KEEPING every version's manifest and append-only
+        ``*_delta`` files so ``read_deltas``/lineage reads and the
+        newest versions' resume points stay intact. Storage becomes
+        O(keep_last · state + total deltas) instead of
+        O(rounds · state) — the difference between a bounded store and
+        an unbounded one on a 10^10-URL crawl. Returns the versions
+        expired by this call."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        expired = []
+        for v in self.versions()[:-keep_last]:
+            vdir = self._vdir(v)
+            mpath = os.path.join(vdir, "manifest.json")
+            with open(mpath) as f:
+                manifest = json.load(f)
+            if manifest.get("expired"):
+                continue
+            for rel in (list(manifest.get("tables", {}).values())
+                        + list(manifest.get("blobs", {}).values())):
+                p = os.path.join(vdir, rel)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
+            manifest["expired"] = True
+            manifest["tables"] = {}
+            manifest["blobs"] = {}
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.rename(tmp, mpath)  # manifest swap stays atomic
+            expired.append(v)
+        return expired
+
     # ------------------------------------------------------------ read
     def read_table(self, spark: SparkSession, version: int, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._vdir(version), f"{name}.parquet"))
