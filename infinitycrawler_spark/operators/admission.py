@@ -321,8 +321,20 @@ def admit(
         links = links.withColumn(
             "_maybe", bloom_store.maybe_seen_udf()(F.xxhash64("url")))
         fresh = links.filter(~F.col("_maybe")).drop("_maybe")
-        suspect = (links.filter(F.col("_maybe")).drop("_maybe")
-                   .join(seen.select("url"), "url", "left_anti"))
+        suspect = links.filter(F.col("_maybe")).drop("_maybe")
+        if settings.seen_broadcast_suspects:
+            # scan-not-shuffle: suspects (small — bloom hits + FPs) are
+            # broadcast against a columnar SCAN of seen; the confirmed
+            # hits (≤ suspects) broadcast back into an anti-join. The
+            # seen table is never sorted or shuffled — at 10^10 URLs
+            # the per-round seen cost drops from shuffle O(|seen|) to
+            # scan O(|seen|), and the scan prunes to the url column.
+            sus_urls = suspect.select("url").distinct()
+            hits = seen.select("url").join(
+                F.broadcast(sus_urls), "url", "left_semi")
+            suspect = suspect.join(F.broadcast(hits), "url", "left_anti")
+        else:
+            suspect = suspect.join(seen.select("url"), "url", "left_anti")
         links = fresh.unionByName(suspect)
     else:
         links = links.join(seen.select("url"), "url", "left_anti")

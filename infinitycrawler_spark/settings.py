@@ -95,5 +95,16 @@ class CrawlSettings:
     #: (per-host FIFO, fully parallel) for large crawls, or raise the
     #: limit deliberately. 0 disables the guard.
     exact_order_max_candidates: int = 2_000_000
+    #: With the Bloom pre-filter active, check the filter-positive
+    #: "suspect" candidates against the seen set by BROADCASTING the
+    #: suspects and scanning seen (two broadcast joins) instead of the
+    #: default shuffled anti-join. Turns the per-round seen cost from
+    #: shuffle O(|seen|) (sort + network for every seen row, every
+    #: round) into a pure columnar scan — the right trade at 10^10-URL
+    #: scale where seen dwarfs each round's suspects. Opt-in: the
+    #: suspects (bloom true-hits + false positives) must fit in a
+    #: broadcast (~executor memory); leave False when a round's
+    #: candidate set can rival the seen set itself.
+    seen_broadcast_suspects: bool = False
     #: Validate image payloads (decode + PSNR + phash + caption) during parse.
     validate_payload: bool = True

@@ -99,3 +99,17 @@ def test_bloom_gate_crossing_is_equivalent(spark):
     got = {(r.url, r.status, r.n_attempts) for r in crossing.results.collect()}
     assert got == {(r.url, r.status, r.n_attempts) for r in g.results}
     assert {r.url for r in crossing.seen.collect()} == g.seen
+
+
+def test_crawl_with_broadcast_suspect_check_identical(spark):
+    """seen_broadcast_suspects must not change crawl semantics — the
+    broadcast scan path is a pure physical-strategy swap."""
+    s = CrawlSettings(seen_broadcast_suspects=True,
+                      request_processor_options=RequestProcessorOptions().no_delay())
+    out = crawl_fixture(spark, basic_site(), s, use_bloom=True,
+                        bloom_min_seen=0)
+    g = golden.crawl(basic_site(), s)
+    got = {(r.url, r.status, r.n_attempts) for r in out.results.collect()}
+    assert got == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in out.seen.collect()} == g.seen
+    assert out.enqueue_log == g.enqueue_order

@@ -80,3 +80,46 @@ def test_host_scope_uses_broadcast_semi_join_not_isin(spark):
     assert "h199.shop" not in plan
     # and the scoped rows are exactly the scope-table hosts
     assert out.frontier_add.count() == 150
+
+
+def test_broadcast_suspect_seen_check_never_shuffles_seen(spark, tmp_path):
+    """seen_broadcast_suspects=True: the bloom-positive suspects are
+    broadcast against a scan of seen (LeftSemi) and the confirmed hits
+    broadcast into the anti-join — no sort/shuffle of the seen table,
+    the per-round seen cost at 10^10 URLs is a columnar scan. Results
+    must equal the default shuffled-anti-join path exactly."""
+    import re
+
+    from infinitycrawler_spark.operators.admission import admit
+    from infinitycrawler_spark.settings import CrawlSettings
+    from infinitycrawler_spark.state.bloom_store import BloomShardStore
+
+    urls = [f"http://h.shop/p{i}" for i in range(60)]
+    cands = spark.createDataFrame(
+        [(u, "h.shop", "link", 1, i, 1, False, None)
+         for i, u in enumerate(urls)],
+        schema="url string, host string, kind string, parent_seq long, "
+               "child_pos int, depth int, skip_budget boolean, "
+               "moved_chain array<string>")
+    seen = spark.createDataFrame([(u,) for u in urls[:30]], "url string") \
+        .selectExpr("url", "xxhash64(url) as url_key")
+    states = spark.createDataFrame([], schema=schemas.STATES)
+    store = BloomShardStore(str(tmp_path), n_buckets=4,
+                            capacity_per_bucket=10_000)
+    store.rebuild(seen)
+
+    def run(broadcast):
+        s = CrawlSettings(host_aliases=["h.shop"],
+                          seen_broadcast_suspects=broadcast)
+        return admit(cands, seen, states, {}, s, "h.shop", budget_base=0,
+                     seq_base=0, round_no=0, exact_order=False,
+                     lazy_counts=True, bloom_store=store)
+
+    out = run(True)
+    plan = out.frontier_add._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*LeftAnti",
+                         plan), plan[:3000]
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftSemi", plan), plan[:3000]
+    got = {r.url for r in out.frontier_add.collect()}
+    want = {r.url for r in run(False).frontier_add.collect()}
+    assert got == want == set(urls[30:])
