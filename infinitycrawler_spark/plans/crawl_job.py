@@ -943,8 +943,20 @@ class CrawlJob:
         np_ = self._n_parts
         frontier_next = (carried.unionByName(adm.frontier_add)
                          .coalesce(np_).localCheckpoint(eager=eager))
-        seen_next = (seen.unionByName(seen_add)
-                     .coalesce(np_).localCheckpoint(eager=eager))
+        # seen-set checkpoint strategy: by default the whole (old ∪ new)
+        # table re-materializes every round — O(|seen|)/round, the
+        # state-proportional residual measured in BENCH/BASELINE.md §8.
+        # With seen_segment_rounds=K (scale mode), only the per-round
+        # DELTA is checkpointed and `seen` stays a lazy union of ≤ K
+        # immutable segments; every K-th round compacts to one segment.
+        seg_k = 0 if precise else settings.seen_segment_rounds
+        if seg_k > 0 and (round_no + 1) % seg_k != 0:
+            mat_seen = seen_add.coalesce(np_).localCheckpoint(eager=eager)
+            seen_next = seen.unionByName(mat_seen)
+        else:
+            seen_next = (seen.unionByName(seen_add)
+                         .coalesce(np_).localCheckpoint(eager=eager))
+            mat_seen = seen_next
         states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
         host_state_next = host_state_next.coalesce(np_).localCheckpoint(eager=eager)
         delta = (round_results.unionByName(adm_results)
@@ -977,6 +989,7 @@ class CrawlJob:
             states1=states1, round_results=round_results,
             adm=adm, adm_results=adm_results, delta=delta,
             frontier_next=frontier_next, seen_next=seen_next,
+            mat_seen=mat_seen,
             states2=states2, host_state_next=host_state_next,
             seen_add=seen_add, lin=lin,
             carried_count=carried_count,
@@ -1141,7 +1154,16 @@ class CrawlJob:
                 # the caches NOW so executor memory and the CacheManager
                 # (whose plan-normalization lookups scale with entry
                 # count, pure driver time) stay O(1) per round
-                for df in [*plan.caches, frontier, seen, states, host_state]:
+                unp = [*plan.caches, frontier, states, host_state]
+                if self.settings.seen_segment_rounds <= 0:
+                    # segment mode keeps `seen` referenced inside the
+                    # seen_next union — its checkpoint blocks must NOT
+                    # be dropped (a truncated-lineage RDD can't be
+                    # recomputed); old segments are freed by the
+                    # ContextCleaner once compaction drops the last
+                    # reference
+                    unp.append(seen)
+                for df in unp:
                     df.unpersist()
                 if plan.lin is not None:
                     self._pending_lineage.append(plan.lin)
@@ -1188,7 +1210,7 @@ class CrawlJob:
         a0 = time.time()
         n_delta = plan.delta.count()
         t_a = time.time() - a0
-        mat = (plan.seen_next, plan.states2, plan.host_state_next)
+        mat = (plan.mat_seen, plan.states2, plan.host_state_next)
         if plan.lin is not None:
             mat = (*mat, plan.lin)
         (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot,

@@ -106,5 +106,13 @@ class CrawlSettings:
     #: broadcast (~executor memory); leave False when a round's
     #: candidate set can rival the seen set itself.
     seen_broadcast_suspects: bool = False
+    #: Scale-mode incremental seen-set checkpointing: keep ``seen`` as a
+    #: union of per-round checkpointed DELTA segments and only compact
+    #: (full-table rewrite) every N rounds. Per-round state
+    #: materialization drops from O(|seen|) to O(new urls this round) +
+    #: amortized O(|seen|)/N; between compactions the seen side of
+    #: admission scans ≤ N segments. 0 = off (full rewrite every round);
+    #: ignored in precise/replay mode.
+    seen_segment_rounds: int = 0
     #: Validate image payloads (decode + PSNR + phash + caption) during parse.
     validate_payload: bool = True

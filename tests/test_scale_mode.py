@@ -110,3 +110,37 @@ def test_scale_mode_extras_crawled_when_seed_blocked(spark, tmp_path):
     by = {r.url: r.status for r in out.results.collect()}
     # the extra URL bypassed admission and MUST have been fetched
     assert by["http://localhost/index.html"] == "Crawled"
+
+
+def test_seen_segments_match_golden_and_resume(spark, tmp_path):
+    """seen_segment_rounds=2: the seen set lives as a union of
+    per-round delta segments (full rewrite only every 2nd round). Must
+    be invisible semantically — same results/seen as golden — and the
+    committed snapshots must still resume exactly."""
+    fx = basic_site()
+    settings = CrawlSettings(
+        seen_segment_rounds=2,
+        request_processor_options=RequestProcessorOptions().no_delay())
+
+    def make_job(root):
+        return CrawlJob(
+            spark=spark, pages=pages_df(spark, fx),
+            robots_map={h: parse_robots_txt(t)
+                        for h, t in fx.robots_txt.items()},
+            sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+            settings=settings, store_root=str(tmp_path / root),
+            collect_enqueue_log=False, exact_order=False,
+            snapshot_every=1, eager_checkpoint=False)
+
+    out = make_job("a").run()
+    g = golden.crawl(basic_site(), settings)
+    assert {(r.url, r.status, r.n_attempts) for r in out.results.collect()} \
+        == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in out.seen.collect()} == g.seen
+
+    make_job("b").run(max_rounds=1)
+    resumed = make_job("b").run(resume=True)
+    assert {(r.url, r.status, r.n_attempts)
+            for r in resumed.results.collect()} \
+        == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in resumed.seen.collect()} == g.seen

@@ -139,6 +139,7 @@ def main():
     hosts = [r.host for r in pages.select("host").distinct().collect()]
     settings = CrawlSettings(
         host_aliases=hosts, number_of_retries=2, validate_payload=validate,
+        seen_segment_rounds=int(os.environ.get("BENCH_SEEN_SEG", "0")),
         request_processor_options=RequestProcessorOptions().no_delay())
     robots_map = {"nation00-m0.shop": parse_robots_txt(
         "User-agent: *\nDisallow: /order/9\n")}
