@@ -20,6 +20,7 @@ SUBSET = [
     "broadcast_join", "rollup_metrics", "explode_wordcount",
     "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk",
     "text_tokens", "events_sessionize", "crawl_frontier_expand",
+    "pairs_quality_filter", "pairs_caption_dedup",
 ]
 
 

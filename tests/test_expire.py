@@ -83,3 +83,23 @@ def test_crawl_with_keep_snapshots_is_exact_and_bounded(spark, tmp_path):
     resumed = _job(spark, root).run(resume=True)
     assert {(r.url, r.status, r.n_attempts) for r in resumed.results.collect()} \
         == {(r.url, r.status, r.n_attempts) for r in g.results}
+
+
+def test_scale_mode_async_commit_with_expiry(spark, tmp_path):
+    """keep_snapshots under the pipelined scale loop: expiry runs on
+    the commit thread, snapshots land in order, results stay exact."""
+    root = str(tmp_path / "scale")
+    out = _job(spark, root, keep_snapshots=1, exact_order=False,
+               collect_enqueue_log=False, eager_checkpoint=False).run()
+    g = golden.crawl(basic_site(), CrawlSettings(
+        request_processor_options=RequestProcessorOptions().no_delay()))
+    assert {(r.url, r.status, r.n_attempts) for r in out.results.collect()} \
+        == {(r.url, r.status, r.n_attempts) for r in g.results}
+    store = SnapshotStore(root)
+    versions = store.versions()
+    with_tables = [v for v in versions
+                   if os.path.exists(os.path.join(
+                       root, f"v{v:05d}", "frontier.parquet"))]
+    assert with_tables == [versions[-1]]
+    assert store.read_deltas(spark, versions[-1], "results").count() \
+        == len(g.results)
