@@ -310,6 +310,47 @@ def q_pairs_caption_dedup(spark, sf):
     return caption_dedup(_pairs_table(spark, sf, cap)).orderBy("caption")
 
 
+def q_pairs_curate(spark, sf):
+    """End-to-end training-set curation over the input_hint shape:
+    metadata quality gate (operators/pairs.py) → lossless phash
+    near-dup connected components, keep each component's representative
+    (operators/dedup.py + graph.py) → same-caption keep-best-image
+    dedup. One composed pipeline, one chained-CTE oracle."""
+    from infinitycrawler_spark.operators.dedup import phash_dup_pairs
+    from infinitycrawler_spark.operators.graph import connected_components
+    from infinitycrawler_spark.operators.pairs import (
+        caption_dedup,
+        pair_quality_filter,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+    cap = F.concat(F.lit("a photo of item "),
+                   (F.col("doc_id") % 211).cast("string"))
+    ph = (F.col("doc_id") * F.lit(1099511628211) + F.lit(2654435761)
+          ) % F.lit(4611686018427387904)
+    base = d.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        (F.lit(16) + (F.col("doc_id") % 97) * 8).cast("int").alias("w"),
+        (F.lit(16) + (F.col("doc_id") % 53) * 8).cast("int").alias("h"),
+        cap.alias("caption"), ph.alias("phash"))
+    planted = (d.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1000000).cast("string")
+                       .alias("image_id"),
+                       F.lit(640).cast("int").alias("w"),
+                       F.lit(480).cast("int").alias("h"),
+                       cap.alias("caption"),
+                       ph.bitwiseXOR(F.lit(9)).alias("phash")))
+    pairs_tbl = base.unionByName(planted)
+    kept = pairs_tbl.join(
+        pair_quality_filter(pairs_tbl).filter("keep").select("image_id"),
+        "image_id")
+    dup = phash_dup_pairs(kept.select("image_id", "phash"))
+    comp = connected_components(dup, src="image_a", dst="image_b")
+    non_keepers = (comp.filter(F.col("id") != F.col("component"))
+                   .select(F.col("id").alias("image_id")))
+    reps = kept.join(non_keepers, "image_id", "left_anti")
+    return caption_dedup(reps).orderBy("caption")
+
+
 def q_dedup_components(spark, sf):
     """MinHash-LSH pairs closed into connected components (min-label
     propagation fixpoint) → near-duplicate clusters with sizes. Oracle:
@@ -1053,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image+caption pair curation (payload-axis, input_hint shape)
         "pairs_quality_filter": q_pairs_quality_filter,
         "pairs_caption_dedup": q_pairs_caption_dedup,
+        "pairs_curate": q_pairs_curate,
         # graph ops (iterative joins; exact SQL oracles)
         "dedup_components": q_dedup_components,
         "link_pagerank": q_link_pagerank,
@@ -1330,6 +1372,63 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) OVER (PARTITION BY caption) AS BIGINT)
                            AS n_dups
                 FROM pairs)
+            SELECT image_id, caption, n_dups, pixels AS best_pixels
+            FROM ranked WHERE rn = 1 ORDER BY caption
+        """,
+        "pairs_curate": """
+            WITH RECURSIVE src AS (
+                SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                       CAST(16 + (doc_id % 97) * 8 AS INT) AS w,
+                       CAST(16 + (doc_id % 53) * 8 AS INT) AS h,
+                       'a photo of item ' || CAST(doc_id % 211 AS VARCHAR)
+                           AS caption,
+                       (doc_id * 1099511628211 + 2654435761)
+                           % 4611686018427387904 AS phash
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id + 1000000 AS VARCHAR), 640, 480,
+                       'a photo of item ' || CAST(doc_id % 211 AS VARCHAR),
+                       xor((doc_id * 1099511628211 + 2654435761)
+                           % 4611686018427387904, 9)
+                FROM documents WHERE doc_id % 7 = 0),
+            -- quality gate: the token/letter rules always pass for
+            -- these captions, so only the geometry rules bind
+            kept AS (
+                SELECT * FROM src
+                WHERE least(w, h) >= 64
+                  AND greatest(w, h) <= 3 * least(w, h)),
+            chunks AS (
+                SELECT image_id, phash, i AS band,
+                       (phash >> (16 * i)) & 65535 AS chunk
+                FROM kept, unnest(generate_series(0, 3)) t(i)),
+            pairs AS (
+                SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b
+                FROM chunks a JOIN chunks b
+                  ON a.band = b.band AND a.chunk = b.chunk
+                 AND a.image_id < b.image_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+            sym AS (
+                SELECT image_a AS u, image_b AS v FROM pairs
+                UNION SELECT image_b, image_a FROM pairs),
+            reach AS (
+                SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) t
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+            comp AS (
+                SELECT u AS image_id, min(v) AS component FROM reach GROUP BY u),
+            reps AS (
+                SELECT k.* FROM kept k
+                LEFT JOIN comp c ON k.image_id = c.image_id
+                WHERE c.image_id IS NULL OR c.component = k.image_id),
+            ranked AS (
+                SELECT image_id, caption,
+                       CAST(w AS BIGINT) * CAST(h AS BIGINT) AS pixels,
+                       row_number() OVER (PARTITION BY caption
+                           ORDER BY CAST(w AS BIGINT) * CAST(h AS BIGINT)
+                                    DESC, image_id) AS rn,
+                       CAST(count(*) OVER (PARTITION BY caption) AS BIGINT)
+                           AS n_dups
+                FROM reps)
             SELECT image_id, caption, n_dups, pixels AS best_pixels
             FROM ranked WHERE rn = 1 ORDER BY caption
         """,
