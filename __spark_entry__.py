@@ -244,8 +244,7 @@ def q_dedup_phash(spark, sf):
     exactly."""
     from infinitycrawler_spark.operators.dedup import phash_dup_pairs
     d = _t(spark, sf, "documents").select("doc_id")
-    ph = (F.col("doc_id") * F.lit(1099511628211) + F.lit(2654435761)
-          ) % F.lit(4611686018427387904)
+    ph = _phash_expr()
     base = d.select(F.col("doc_id").alias("image_id"),
                     ph.alias("phash"))
     planted = (d.filter(F.col("doc_id") % 7 == 0)
@@ -263,8 +262,7 @@ def q_dedup_phash_components(spark, sf):
     from infinitycrawler_spark.operators.graph import connected_components
     from infinitycrawler_spark.operators.dedup import phash_dup_pairs
     d = _t(spark, sf, "documents").select("doc_id")
-    ph = (F.col("doc_id") * F.lit(1099511628211) + F.lit(2654435761)
-          ) % F.lit(4611686018427387904)
+    ph = _phash_expr()
     base = d.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
     planted = (d.filter(F.col("doc_id") % 7 == 0)
                .select((F.col("doc_id") + 1000000).alias("image_id"),
@@ -277,17 +275,29 @@ def q_dedup_phash_components(spark, sf):
             .orderBy("image_id"))
 
 
-def _pairs_table(spark, sf, caption_expr):
+def _phash_expr():
+    """The synthetic 62-bit phash used by every phash-oracled query
+    (dedup_phash, dedup_phash_components, pairs_curate) — one source
+    of truth for the Spark side of the shared SQL formula."""
+    return (F.col("doc_id") * F.lit(1099511628211) + F.lit(2654435761)
+            ) % F.lit(4611686018427387904)
+
+
+def _pairs_table(spark, sf, caption_expr, with_phash=False):
     """The BASELINE.json input_hint table shape (image_id, w, h,
-    caption, ...), synthesised deterministically from documents —
+    caption[, phash]), synthesised deterministically from documents —
     metadata-only (bytes never materialised: these operators must
     prune it anyway)."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    return d.select(
+    cols = [
         F.col("doc_id").cast("string").alias("image_id"),
         (F.lit(16) + (F.col("doc_id") % 97) * 8).cast("int").alias("w"),
         (F.lit(16) + (F.col("doc_id") % 53) * 8).cast("int").alias("h"),
-        caption_expr.alias("caption"))
+        caption_expr.alias("caption"),
+    ]
+    if with_phash:
+        cols.append(_phash_expr().alias("phash"))
+    return d.select(*cols)
 
 
 def q_pairs_quality_filter(spark, sf):
@@ -322,27 +332,23 @@ def q_pairs_curate(spark, sf):
         caption_dedup,
         pair_quality_filter,
     )
-    d = _t(spark, sf, "documents").select("doc_id")
     cap = F.concat(F.lit("a photo of item "),
                    (F.col("doc_id") % 211).cast("string"))
-    ph = (F.col("doc_id") * F.lit(1099511628211) + F.lit(2654435761)
-          ) % F.lit(4611686018427387904)
-    base = d.select(
-        F.col("doc_id").cast("string").alias("image_id"),
-        (F.lit(16) + (F.col("doc_id") % 97) * 8).cast("int").alias("w"),
-        (F.lit(16) + (F.col("doc_id") % 53) * 8).cast("int").alias("h"),
-        cap.alias("caption"), ph.alias("phash"))
-    planted = (d.filter(F.col("doc_id") % 7 == 0)
+    base = _pairs_table(spark, sf, cap, with_phash=True)
+    planted = (_t(spark, sf, "documents").select("doc_id")
+               .filter(F.col("doc_id") % 7 == 0)
                .select((F.col("doc_id") + 1000000).cast("string")
                        .alias("image_id"),
                        F.lit(640).cast("int").alias("w"),
                        F.lit(480).cast("int").alias("h"),
                        cap.alias("caption"),
-                       ph.bitwiseXOR(F.lit(9)).alias("phash")))
+                       _phash_expr().bitwiseXOR(F.lit(9)).alias("phash")))
     pairs_tbl = base.unionByName(planted)
+    # left_semi: a gate, not an equi-join — can never multiply rows if
+    # an image_id ever collides between base and planted
     kept = pairs_tbl.join(
         pair_quality_filter(pairs_tbl).filter("keep").select("image_id"),
-        "image_id")
+        "image_id", "left_semi")
     dup = phash_dup_pairs(kept.select("image_id", "phash"))
     comp = connected_components(dup, src="image_a", dst="image_b")
     non_keepers = (comp.filter(F.col("id") != F.col("component"))
@@ -1342,7 +1348,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs),
             verdict AS (
                 SELECT image_id, w, h, n_tokens,
-                       CASE WHEN least(w, h) < 64 THEN 'too_small'
+                       CASE WHEN caption IS NULL OR w IS NULL OR h IS NULL
+                                THEN 'missing'
+                            WHEN least(w, h) < 64 THEN 'too_small'
                             WHEN greatest(w, h) > 3 * least(w, h)
                                 THEN 'extreme_aspect'
                             WHEN n_tokens < 2 THEN 'caption_short'

@@ -26,7 +26,7 @@ Pipeline order is semantics (the reference's quirks are load-bearing):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -54,6 +54,9 @@ class AdmissionOutput:
     #: the internal candidates cache — callers unpersist it once the
     #: round's outputs are materialized (keeps CacheManager O(1)/round)
     cached: DataFrame | None = None
+    #: further internal caches with the same lifecycle (e.g. the
+    #: post-bloom-UDF links branch in broadcast-suspect mode)
+    extra_cached: list = field(default_factory=list)
 
 
 def _robots_allowed_udf(robots_map: dict[str, RobotsFile], base_host: str,
@@ -282,6 +285,7 @@ def admit(
     state moves, so a plain left join yields each candidate's effective
     crawl state."""
     spark = candidates.sparkSession
+    extra_cached: list[DataFrame] = []
 
     # 1. host scope. ``scope_hosts`` (a one-column DataFrame built once
     # by the caller) scales to any alias-set size: an isin() literal
@@ -320,6 +324,13 @@ def admit(
             nb, F.pmod(F.xxhash64("url"), F.lit(nb)))
         links = links.withColumn(
             "_maybe", bloom_store.maybe_seen_udf()(F.xxhash64("url")))
+        if settings.seen_broadcast_suspects:
+            # three consumers branch off this point (fresh, suspect,
+            # and the sus_urls broadcast build) — cache it so the
+            # bloom UDF runs once per row, not once per consumer;
+            # lifecycle via extra_cached (callers unpersist per round)
+            links = links.cache()
+            extra_cached.append(links)
         fresh = links.filter(~F.col("_maybe")).drop("_maybe")
         suspect = links.filter(F.col("_maybe")).drop("_maybe")
         if settings.seen_broadcast_suspects:
@@ -513,4 +524,5 @@ def admit(
         n_enqueued=n_enqueued,
         n_admitted=n_admitted,
         cached=cands,
+        extra_cached=extra_cached,
     )

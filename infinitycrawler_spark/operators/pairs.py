@@ -32,21 +32,27 @@ def pair_quality_filter(pairs: DataFrame, min_side: int = 64,
     """Per-pair quality verdict → (image_id, w, h, n_tokens, keep,
     reject_reason). Rules, checked in order (first failure reported):
 
-    1. ``too_small``      — min(w, h) < min_side
-    2. ``extreme_aspect`` — max(w, h) > max_aspect * min(w, h)
-    3. ``caption_short``  — n_tokens < min_tokens
-    4. ``caption_long``   — n_tokens > max_tokens
-    5. ``caption_junk``   — caption has no ascii letter
+    1. ``missing``        — caption, w, or h is NULL (real crawl data
+       has them; NULL must fail closed, not sail through every
+       three-valued-logic comparison below as keep=True)
+    2. ``too_small``      — min(w, h) < min_side
+    3. ``extreme_aspect`` — max(w, h) > max_aspect * min(w, h)
+    4. ``caption_short``  — n_tokens < min_tokens
+    5. ``caption_long``   — n_tokens > max_tokens
+    6. ``caption_junk``   — caption has no ascii letter
 
     Aspect is integer arithmetic (max > ratio*min), never a float
     division, so the oracle comparison is exact. Narrow projection:
     ``bytes`` is never referenced, so Parquet scans prune it.
     """
+    missing = (F.col("caption").isNull() | F.col("w").isNull()
+               | F.col("h").isNull())
     small = F.least("w", "h") < min_side
     aspect = F.greatest("w", "h") > max_aspect * F.least("w", "h")
     nt = _n_tokens()
     junk = ~F.col("caption").rlike("[A-Za-z]")
-    reason = (F.when(small, "too_small")
+    reason = (F.when(missing, "missing")
+              .when(small, "too_small")
               .when(aspect, "extreme_aspect")
               .when(nt < min_tokens, "caption_short")
               .when(nt > max_tokens, "caption_long")

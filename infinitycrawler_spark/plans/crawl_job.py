@@ -995,7 +995,8 @@ class CrawlJob:
             carried_count=carried_count,
             build_s=time.time() - build_t0,
             caches=[attempt_rows, parsed, red, states1, seen_add,
-                    *( [adm.cached] if adm.cached is not None else [] )])
+                    *( [adm.cached] if adm.cached is not None else [] ),
+                    *adm.extra_cached])
 
     # ------------------------------------------------------ loop drivers
     def _precise_loop(self, ctx, frontier, seen, states, host_state,

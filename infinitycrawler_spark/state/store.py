@@ -144,13 +144,12 @@ class SnapshotStore:
                 manifest = json.load(f)
             if manifest.get("expired"):
                 continue
-            for rel in (list(manifest.get("tables", {}).values())
-                        + list(manifest.get("blobs", {}).values())):
-                p = os.path.join(vdir, rel)
-                if os.path.isdir(p):
-                    shutil.rmtree(p)
-                elif os.path.exists(p):
-                    os.remove(p)
+            # Iceberg order: mark the manifest expired FIRST (atomic
+            # rename), then delete files — a crash mid-expiry leaks
+            # orphan files but never leaves a manifest advertising
+            # tables that no longer exist
+            doomed = (list(manifest.get("tables", {}).values())
+                      + list(manifest.get("blobs", {}).values()))
             manifest["expired"] = True
             manifest["tables"] = {}
             manifest["blobs"] = {}
@@ -158,6 +157,12 @@ class SnapshotStore:
             with open(tmp, "w") as f:
                 json.dump(manifest, f, indent=1)
             os.rename(tmp, mpath)  # manifest swap stays atomic
+            for rel in doomed:
+                p = os.path.join(vdir, rel)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
             expired.append(v)
         return expired
 

@@ -22,6 +22,9 @@ ROWS = [
     ("junk",    640, 480, "123 456 789"),
     # first failing rule wins: too_small beats caption_junk
     ("both",    10,  10,  "123 456"),
+    # NULLs fail closed ('missing'), never keep=True via 3VL
+    ("nullcap", 640, 480, None),
+    ("nullw",   None, 480, "a dog on a beach"),
 ]
 
 
@@ -43,6 +46,8 @@ def test_quality_filter_rules(pairs):
         "long":   (False, "caption_long",   78),
         "junk":   (False, "caption_junk",   3),
         "both":   (False, "too_small",      2),
+        "nullcap": (False, "missing",       None),
+        "nullw":  (False, "missing",        5),
     }
 
 

@@ -84,8 +84,11 @@ def main():
         n = out.frontier_add.count()
         return time.time() - t0, n
 
+    run(False), run(True)  # discarded warmup (codegen, blob page cache)
     for rep in range(reps):
-        for mode in (False, True):
+        # alternate order per rep so neither arm always inherits a
+        # warmer page cache
+        for mode in ((False, True) if rep % 2 == 0 else (True, False)):
             wall, n = run(mode)
             print(json.dumps({
                 "rep": rep, "broadcast_suspects": mode, "cpus": cpus,
