@@ -28,6 +28,19 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Location", "/a.html")
             self.end_headers()
             return
+        if self.path == "/gz.html":
+            # Content-Encoding gzip body — the client must surface the
+            # DECODED bytes (HttpClient AutomaticDecompression parity)
+            # while still reporting the encoding header
+            import gzip as _gz
+            body = _gz.compress(b"<html><body>zipped leaf</body></html>")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         status, body = PAGES.get(self.path, (404, b""))
         self.send_response(status)
         self.send_header("Content-Type", "text/html; charset=utf-8")
@@ -137,3 +150,21 @@ def test_http_fetch_politeness_spacing(spark, http_base):
     starts = sorted(r.request_start_ms for r in out if not r.is_state)
     assert starts[1] - starts[0] >= 140  # tolerance for sleep granularity
     assert starts[2] - starts[1] >= 140
+
+
+def test_gzip_content_encoding_transparently_decoded(spark, http_base):
+    """Crawler.cs relies on HttpClient's AutomaticDecompression; our
+    requests-backed fetcher must likewise hand the parse pass DECODED
+    bytes and carry the Content-Encoding header as metadata
+    (DefaultContentProcessor.cs:21)."""
+    host = http_base.split("://", 1)[1]
+    due = spark.createDataFrame(
+        [(f"{http_base}/gz.html", host, 0, 0)],
+        schema="url string, host string, enqueue_seq long, depth int")
+    host_state = spark.createDataFrame([], schema=schemas.HOST_STATE)
+    out = http_fetch_round(
+        due, host_state, RequestProcessorOptions().no_delay()).collect()
+    row = [r for r in out if not r.is_state][0]
+    assert row.status_code == 200
+    assert bytes(row.body) == b"<html><body>zipped leaf</body></html>"
+    assert row.content_encoding == "gzip"

@@ -69,3 +69,52 @@ def test_quality_filter_plan_is_scan_only(pairs):
     gate must stay map-side so Parquet prunes the payload column."""
     plan = pair_quality_filter(pairs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _ref_verdict(w, h, caption, min_side=64, max_aspect=3,
+                 min_tokens=2, max_tokens=77):
+    """Plain-python restatement of the rule order for the property test."""
+    if caption is None or w is None or h is None:
+        return "missing"
+    if min(w, h) < min_side:
+        return "too_small"
+    if max(w, h) > max_aspect * min(w, h):
+        return "extreme_aspect"
+    nt = len([t for t in caption.split(" ") if t != ""])
+    if nt < min_tokens:
+        return "caption_short"
+    if nt > max_tokens:
+        return "caption_long"
+    import re
+    if not re.search("[A-Za-z]", caption):
+        return "caption_junk"
+    return None
+
+
+def test_quality_filter_property(spark):
+    """Randomized agreement with the python reference across the rule
+    lattice (dims spanning the thresholds, captions spanning token
+    counts / junk / spaces / None)."""
+    from hypothesis import given, settings as hs, strategies as st
+
+    dim = st.one_of(st.none(), st.integers(min_value=1, max_value=400))
+    word = st.sampled_from(["dog", "123", "x", "", " "])
+    cap = st.one_of(st.none(),
+                    st.lists(word, min_size=0, max_size=90)
+                    .map(lambda ws: " ".join(ws)))
+    rows_strategy = st.lists(st.tuples(dim, dim, cap), min_size=1,
+                             max_size=30)
+
+    @hs(max_examples=12, deadline=None)
+    @given(rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(
+            [(str(i), w, h, c) for i, (w, h, c) in enumerate(rows)],
+            "image_id string, w int, h int, caption string")
+        got = {r.image_id: r.reject_reason
+               for r in pair_quality_filter(df).collect()}
+        want = {str(i): _ref_verdict(w, h, c)
+                for i, (w, h, c) in enumerate(rows)}
+        assert got == want
+
+    check()
