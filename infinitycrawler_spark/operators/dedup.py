@@ -147,7 +147,8 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
 
 def phash_dup_pairs(images: DataFrame, threshold: int = 3,
                     bands: int | None = None, id_col: str = "image_id",
-                    phash_col: str = "phash") -> DataFrame:
+                    phash_col: str = "phash",
+                    max_chunk_df: int | None = None) -> DataFrame:
     """Perceptual-hash near-duplicate image pairs over the image+caption
     table shape (image_id, bytes, w, h, fmt, caption, phash:int64) →
     (image_a, image_b, hamming), image_a < image_b.
@@ -164,8 +165,14 @@ def phash_dup_pairs(images: DataFrame, threshold: int = 3,
     Scale: the self-join key is (band, chunk); with 64/bands-bit chunks
     a hot chunk value (e.g. a solid-color phash plateau) is the skew
     risk — AQE skew-join handles moderate cases, and candidate pairs
-    are generated per-band then de-duplicated, never all-pairs. Pure
-    JVM expressions (shift/mask/xor/bit_count), exact SQL oracle."""
+    are generated per-band then de-duplicated, never all-pairs. For
+    plateau-heavy corpora, ``max_chunk_df`` is the 100 TB guard (the
+    ``max_shingle_df`` precedent): (band, chunk) buckets with more than
+    N members are dropped from candidate generation, bounding the
+    self-join at O(N²) per bucket. This TRADES the pigeonhole
+    losslessness for a hard cost bound — a pair whose every agreeing
+    chunk is a plateau is missed — so it is off by default. Pure JVM
+    expressions (shift/mask/xor/bit_count), exact SQL oracle."""
     if bands is None:
         # any bands >= threshold+1 keeps the pigeonhole guarantee; round
         # up to the next power of two so the chunks tile 64 bits evenly
@@ -186,6 +193,12 @@ def phash_dup_pairs(images: DataFrame, threshold: int = 3,
     ex = (images.select(F.col(id_col).alias("id"), ph.alias("ph"),
                         F.explode(chunks).alias("bc"))
           .select("id", "ph", "bc.band", "bc.chunk"))
+    if max_chunk_df is not None:
+        hot = (ex.groupBy("band", "chunk")
+               .agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_chunk_df)
+               .select("band", "chunk"))
+        ex = ex.join(hot, ["band", "chunk"], "left_anti")
     a = ex.select(F.col("id").alias("image_a"), F.col("ph").alias("ph_a"),
                   "band", "chunk")
     b = ex.select(F.col("id").alias("image_b"), F.col("ph").alias("ph_b"),

@@ -97,3 +97,27 @@ def test_phash_negative_phash_uses_logical_shift(spark):
     rows = [(0, -1), (1, -1 ^ 0b101)]  # hamming 2
     got = phash_dup_pairs(_images(spark, rows), threshold=3).collect()
     assert [(r.image_a, r.image_b, r.hamming) for r in got] == [(0, 1, 2)]
+
+
+def test_max_chunk_df_bounds_plateau_buckets(spark):
+    """A plateau phash (many identical hashes — solid-color images)
+    must stop exploding candidate generation when max_chunk_df is set:
+    plateau-internal pairs are dropped (documented recall trade), while
+    pairs whose agreeing chunks are below the cap survive."""
+    from infinitycrawler_spark.operators.dedup import phash_dup_pairs
+
+    base = (1 << 40) | (1 << 20) | (1 << 10) | (1 << 5) | 1  # 5 bits set:
+    # Hamming 5 from the plateau, so cross pairs fail the threshold
+    rows = [(i, 0) for i in range(50)]        # 50-image plateau
+    rows += [(100, base), (101, base ^ 3)]    # normal near-dup pair
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+
+    capped = phash_dup_pairs(df, threshold=3, max_chunk_df=10).collect()
+    got = {(r.image_a, r.image_b) for r in capped}
+    # every (band, chunk) of the plateau holds 50 > 10 members → all
+    # plateau pairs dropped; the pair at distance 2 agrees on 3 chunks
+    # of df ≤ 10 (plateau shares no nonzero chunk) → kept
+    assert got == {(100, 101)}
+    # default (no cap) keeps losslessness: all 50*49/2 plateau pairs
+    full = phash_dup_pairs(df, threshold=3).count()
+    assert full == 50 * 49 // 2 + 1
