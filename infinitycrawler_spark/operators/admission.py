@@ -402,6 +402,41 @@ def admit(
     # would otherwise recompute the explode+anti-join+window pipeline
     cands = cands.cache()
     n_admitted = -1 if lazy_counts else cands.count()
+    try:
+        return _admit_post_cache(
+            cands, n_admitted, extra_cached, spark, seen, settings,
+            robots_map, base_host, round_no, seq_base, per_host_robots,
+            exact_order, lazy_counts, robots_rules, robots_epoch)
+    except Exception:
+        # the caller only unpersists via AdmissionOutput; on failure that
+        # output never exists, so release the caches here or they leak
+        # across failed rounds in a long-lived session
+        for df in [cands, *extra_cached]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        raise
+
+
+def _admit_post_cache(
+    cands: DataFrame,
+    n_admitted: int,
+    extra_cached: list[DataFrame],
+    spark,
+    seen: DataFrame,
+    settings,
+    robots_map,
+    base_host: str,
+    round_no: int,
+    seq_base: int,
+    per_host_robots,
+    exact_order: bool,
+    lazy_counts: bool,
+    robots_rules,
+    robots_epoch,
+) -> AdmissionOutput:
+    from infinitycrawler_spark.schemas import ATT_LOG_DDL, HOP_LOG_DDL
 
     # 5. seen insert for every admitted candidate (CrawlRunner.cs:164)
     seen_add = (cands.select("url", "host").distinct()
@@ -495,6 +530,10 @@ def admit(
         # guard the single-partition global window — at production scale
         # it silently serializes the round; refuse loudly instead
         limit = getattr(settings, "exact_order_max_candidates", 0)
+        if limit and n_admitted == -1:
+            # lazy_counts must not disable the guard (ADVICE r4): the
+            # count here is one action over the already-cached cands
+            n_admitted = cands.count()
         if limit and n_admitted > limit:
             raise ValueError(
                 f"exact_order=True admitted {n_admitted} candidates in one "

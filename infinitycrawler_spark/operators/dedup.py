@@ -65,10 +65,22 @@ def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      max_band_df: int | None = None) -> DataFrame:
     """LSH candidate pairs: band the k minhashes into ``bands`` groups;
     docs sharing any full band signature are candidates →
-    (doc_a, doc_b) distinct, doc_a < doc_b."""
+    (doc_a, doc_b) distinct, doc_a < doc_b.
+
+    ``max_band_df`` is the 100 TB skew guard (the ``max_shingle_df`` /
+    ``max_chunk_df`` precedent): a band signature shared by more than N
+    documents (boilerplate-heavy corpora where many docs share a whole
+    minhash band) is dropped from candidate generation, bounding the
+    self-join at O(N²) pairs per bucket instead of quadratic in the
+    bucket. AQE skew-join splits the *partitions* of a hot bucket but
+    not the pair count — this caps the pair count itself. TRADE: a pair
+    whose only agreeing bands are all hot is missed (recall loss on
+    exactly the boilerplate clusters that were the cost problem), so it
+    is off by default."""
     sigs = minhash_signatures(word_shingles(docs, shingle_n), k)
     rows_per_band = k // bands
     banded = (sigs
@@ -77,6 +89,12 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
               .agg(F.array_join(F.array_sort(
                   F.collect_list(F.concat_ws("=", F.col("salt"), F.col("mh")))),
                   "|").alias("sig")))
+    if max_band_df is not None:
+        hot = (banded.groupBy("band", "sig")
+               .agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_band_df)
+               .select("band", "sig"))
+        banded = banded.join(hot, ["band", "sig"], "left_anti")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (a.join(b, ["band", "sig"])
@@ -182,13 +200,19 @@ def phash_dup_pairs(images: DataFrame, threshold: int = 3,
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     width = 64 // bands
-    mask = (1 << width) - 1
     ph = F.col(phash_col)
+
+    def _chunk(i: int):
+        # bands=1 → width=64 → the chunk IS the whole hash; masking with
+        # (1<<64)-1 would overflow a java long at plan-build time
+        if width == 64:
+            return ph
+        mask = (1 << width) - 1
+        return (F.shiftrightunsigned(ph, i * width)
+                .bitwiseAND(F.lit(mask)))
+
     chunks = F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftrightunsigned(ph, i * width)
-            .bitwiseAND(F.lit(mask)).alias("chunk"))
+        F.struct(F.lit(i).alias("band"), _chunk(i).alias("chunk"))
         for i in range(bands)])
     ex = (images.select(F.col(id_col).alias("id"), ph.alias("ph"),
                         F.explode(chunks).alias("bc"))

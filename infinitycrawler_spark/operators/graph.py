@@ -61,6 +61,11 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
                           ).alias("rank")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
+    # materialize before releasing edges_deg: the returned frame is lazy,
+    # so unpersisting first would make every evaluation recompute the
+    # degree join (ADVICE r4) — eager=True runs the loop's final plan
+    # once and truncates its lineage, same discipline as the crawl loop
+    ranks = ranks.localCheckpoint(eager=True)
     edges_deg.unpersist()
     return ranks
 
@@ -99,6 +104,71 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym.unpersist()
     return labels.select(F.col("u").alias("id"),
                          F.col("label").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): symmetrize, then for every node u
+    connect each strictly-larger neighbour to m(u) = min(Γ(u) ∪ {u})."""
+    g = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = g.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (g.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: edges arrive oriented u > v; connect u and all
+    its (smaller) neighbours to m(u) = min(Γ(u))."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (e.join(mins, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    rooted = mins.select("u", F.col("m").alias("v"))
+    return (relinked.union(rooted)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction → (id, component), component = the smallest node id in
+    the component. Same contract as :func:`connected_components` (only
+    nodes appearing in ``edges`` are labelled) but converges in
+    O(log n) rounds regardless of graph diameter — the right algorithm
+    for high-diameter graphs (web link graphs, ring/path topologies)
+    where min-label propagation needs O(diameter) joins.
+
+    Scale: each round is two grouped min-aggregations + two joins on
+    the (shrinking) edge list; convergence is detected with one
+    bounded-scalar action per round (changed-edge count), and per-round
+    lineage is truncated with localCheckpoint like the crawl loop."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint())
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        # fixpoint ⟺ identical edge sets; both are distinct sets, so
+        # equal counts + empty one-way difference suffices
+        changed = (new_e.count() != e.count()
+                   or not new_e.exceptAll(e).isEmpty())
+        e = new_e
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds")
+    # converged edges form stars: every non-root points at its root
+    comps = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+             .distinct())
+    return comps.union(roots).distinct()
 
 
 def minhash_components(docs: DataFrame, k: int = 8, bands: int = 4,

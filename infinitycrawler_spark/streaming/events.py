@@ -40,8 +40,20 @@ EVENTS_SCHEMA = StructType([
     StructField("props", StringType()),
 ])
 
-SESSION_STATE = ("n_sessions LONG, last_ts_epoch DOUBLE,"
+#: bump whenever the MEANING of the state fields changes; the physical
+#: schema below carries it as the first field so an upgraded operator
+#: resuming over older-semantics state fails fast with
+#: :class:`SessionStateVersionError` instead of silently misreading.
+#: (A physical-shape change is caught earlier by Spark's own state
+#: schema compatibility check; this covers same-shape semantic drift.)
+SESSION_STATE_VERSION = 2
+SESSION_STATE = ("state_ver LONG, n_sessions LONG, last_ts_epoch DOUBLE,"
                  " buf ARRAY<DOUBLE>, upd_seq LONG")
+
+
+class SessionStateVersionError(RuntimeError):
+    """Raised when a resumed checkpoint's session state was written by
+    an operator version with different state semantics."""
 SESSION_OUT = StructType([
     StructField("user_id", LongType()),
     StructField("n_sessions", LongType()),
@@ -74,7 +86,8 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
 
 
 def sessionize_stream(stream: DataFrame, gap_s: int = 1800,
-                      watermark: str = "2 hours") -> DataFrame:
+                      watermark: str = "2 hours",
+                      state_version: int = SESSION_STATE_VERSION) -> DataFrame:
     """Custom stateful operator: per-user gap-based session counting,
     correct under CROSS-BATCH event-time disorder up to the watermark.
 
@@ -92,11 +105,15 @@ def sessionize_stream(stream: DataFrame, gap_s: int = 1800,
     Compatibility contract (breaking changes vs the pre-buffering
     version of this operator):
 
-    - **checkpoints are not forward-compatible** — SESSION_STATE grew
-      from 2 to 4 fields (``buf``, ``upd_seq``), so resuming a query
-      from a checkpoint written by the old operator will fail or
-      misread state. Start the upgraded query with a NEW checkpoint
-      directory.
+    - **checkpoints are version-guarded** — SESSION_STATE leads with a
+      ``state_ver`` field (current: ``SESSION_STATE_VERSION``). A
+      physical schema change across upgrades is rejected by Spark's own
+      state-schema compatibility check; a same-shape semantic change
+      bumps the version and resuming over older state raises
+      :class:`SessionStateVersionError` (fail fast, never misread).
+      Either way the remedy is a new checkpoint directory + re-read.
+      (``state_version`` is parameterized only so tests can author an
+      old-version checkpoint.)
     - **consumers must dedupe by ``upd_seq``** — SESSION_OUT gained
       ``upd_seq`` and update-mode sinks may retain superseded rows;
       select the max-``upd_seq`` row per user_id (a provisional count
@@ -107,7 +124,13 @@ def sessionize_stream(stream: DataFrame, gap_s: int = 1800,
                        state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            n_sessions, last_epoch, buf, upd_seq = state.get
+            ver, n_sessions, last_epoch, buf, upd_seq = state.get
+            if ver != state_version:
+                raise SessionStateVersionError(
+                    f"session state for user_id={user_id} was written by "
+                    f"state version {ver}, this operator is version "
+                    f"{state_version}; start the upgraded query with a new "
+                    "checkpoint directory and re-read the source")
             buf = list(buf) if buf is not None else []
             last = last_epoch if last_epoch is not None and last_epoch >= 0 else None
         else:
@@ -123,7 +146,7 @@ def sessionize_stream(stream: DataFrame, gap_s: int = 1800,
                 n_sessions += 1
             last = epoch if last is None else max(last, epoch)
         upd_seq += 1
-        state.update((n_sessions,
+        state.update((state_version, n_sessions,
                       float(last) if last is not None else -1.0,
                       buf, upd_seq))
         prov, plast = n_sessions, last
