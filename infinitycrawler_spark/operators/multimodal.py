@@ -3,10 +3,11 @@ columns with typed metadata, processed in Arrow-vectorized passes.
 
 Raw containers decode for real without any media library: synthetic
 images (functions/images.py), PCM s16 audio and raw-RGB-frame video
-(functions/media.py), plus two REAL on-disk formats the stdlib+numpy
-can handle — uncompressed 24-bit BMP and RIFF/WAVE PCM s16 — so the
-codec seam is exercised end-to-end on genuine file layouts. Formats
-that need external codecs (JPEG, MP3, MP4) dispatch to PIL when it is
+(functions/media.py), plus three REAL on-disk formats the stdlib+numpy
+can handle — uncompressed 24-bit BMP, baseline PNG (zlib inflate + the
+five scanline filters), and RIFF/WAVE PCM s16 — so the codec seam is
+exercised end-to-end on genuine file layouts. Formats that need
+external codecs (JPEG, WEBP, MP3, MP4) dispatch to PIL when it is
 importable and surface as typed error rows otherwise; deployment
 installs PIL/ffmpeg and keeps identical schemas, batch shapes, and
 feature definitions.
@@ -68,7 +69,13 @@ def _decode(data: bytes, fmt: str | None) -> np.ndarray:
         from infinitycrawler_spark.functions.images import decode_bmp
 
         return decode_bmp(data)
-    if fmt in ("jpeg", "png", "webp"):
+    if fmt == "png":
+        # baseline PNG decodes for real (stdlib zlib + numpy); Adam7
+        # interlace raises NotImplementedError → typed unsupported row
+        from infinitycrawler_spark.functions.images import decode_png
+
+        return decode_png(data)
+    if fmt in ("jpeg", "webp"):
         try:
             from PIL import Image  # noqa: PLC0415 — optional dependency
         except ImportError:

@@ -1,8 +1,12 @@
-"""Real on-disk codec seam (VERDICT r3 item 2): uncompressed 24-bit BMP
-and RIFF/WAVE PCM s16 decode with stdlib+numpy alone; PIL-backed jpeg/
-png/webp dispatch activates when PIL is importable (importorskip-gated —
-skipped in this container); and the float64-phash batch regression the
-BMP oracle surfaced is pinned."""
+"""Real on-disk codec seam (VERDICT r3 item 2 / r4 next #4):
+uncompressed 24-bit BMP, baseline PNG (zlib inflate + all five scanline
+filters) and RIFF/WAVE PCM s16 decode with stdlib+numpy alone;
+PIL-backed jpeg/webp dispatch activates when PIL is importable
+(importorskip-gated — skipped in this container); and the float64-phash
+batch regression the BMP oracle surfaced is pinned."""
+
+import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -10,8 +14,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from infinitycrawler_spark.functions.images import (
+    _PNG_SIG,
+    _png_chunk,
     decode_bmp,
+    decode_png,
     encode_bmp,
+    encode_png,
     expected_pixels,
     phash64,
 )
@@ -127,7 +135,7 @@ def test_audio_features_wav(spark):
 
 
 def test_pil_dispatch_when_available(spark):
-    """When PIL is installed, jpeg/png decode through the same operator
+    """When PIL is installed, jpeg decodes through the same operator
     with identical schema (skipped in codec-less containers)."""
     PIL_Image = pytest.importorskip("PIL.Image")
     import io
@@ -136,13 +144,89 @@ def test_pil_dispatch_when_available(spark):
 
     px = expected_pixels("pil", 24, 16)
     buf = io.BytesIO()
-    PIL_Image.fromarray(px).save(buf, format="PNG")
+    PIL_Image.fromarray(px).save(buf, format="JPEG", quality=95)
     df = spark.createDataFrame(
-        [("p1", buf.getvalue(), "png")],
+        [("p1", buf.getvalue(), "jpeg")],
         "image_id string, bytes binary, fmt string")
     row = image_features(df).collect()[0]
     assert row.ok == "ok" and (row.w, row.h) == (24, 16)
-    assert row.phash == phash64(px)  # png is lossless
+
+
+# ------------------------------------------------------------- PNG
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 30), seed=st.integers(0, 99))
+def test_png_roundtrip_any_size(w, h, seed):
+    # filter_cycle exercises all five scanline filters across the rows
+    px = expected_pixels(f"png{seed}", w, h)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    assert np.array_equal(decode_png(encode_png(px, filter_cycle=False)), px)
+
+
+def _raw_png(w, h, color, channels_data, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+    raw = b"".join(b"\x00" + channels_data[r].tobytes() for r in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_gray_and_rgba_variants():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_png(_raw_png(4, 3, 0, g))
+    assert out.shape == (3, 4, 3)
+    for c in range(3):
+        assert np.array_equal(out[..., c], g)
+    rgba = expected_pixels("rgba", 4, 3)
+    rgba4 = np.concatenate(
+        [rgba, np.full((3, 4, 1), 128, np.uint8)], axis=2)
+    # PIL convert("RGB") semantics: alpha dropped, not composited
+    assert np.array_equal(
+        decode_png(_raw_png(4, 3, 6, rgba4.reshape(3, -1))), rgba)
+
+
+@pytest.mark.parametrize("mut", [
+    lambda b: b[:40],                      # truncated mid-IDAT
+    lambda b: b[:len(b) - 6],              # truncated IEND (no trailer)
+    lambda b: b"nope" + b[4:],             # wrong signature
+    lambda b: bytes(bytearray(b[:30]) + bytearray([b[30] ^ 0xFF])
+                    + bytearray(b[31:])),  # CRC flip
+])
+def test_png_rejects_corrupt(mut):
+    b = encode_png(expected_pixels("pc", 8, 8))
+    with pytest.raises(ValueError):
+        decode_png(mut(b))
+
+
+def test_png_interlaced_is_typed_unsupported(spark):
+    from infinitycrawler_spark.operators.multimodal import image_features
+
+    interlaced = _raw_png(4, 3, 2, expected_pixels("il", 4, 3), interlace=1)
+    with pytest.raises(NotImplementedError):
+        decode_png(interlaced)
+    df = spark.createDataFrame(
+        [("i1", interlaced, "png"),
+         ("i2", encode_png(expected_pixels("ok", 6, 5)), "png")],
+        "image_id string, bytes binary, fmt string")
+    rows = {r.image_id: r for r in image_features(df).collect()}
+    assert rows["i1"].ok == "error:unsupported:png"
+    assert rows["i2"].ok == "ok"
+    assert rows["i2"].phash == phash64(expected_pixels("ok", 6, 5))
+
+
+def test_png_matches_pil_where_importable():
+    """Cross-implementation parity: PIL must read our PNGs pixel-exact
+    and we must read PIL's (skipped in codec-less containers)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    px = expected_pixels("xpil", 24, 16)
+    ours = encode_png(px)
+    assert np.array_equal(
+        np.asarray(PIL_Image.open(io.BytesIO(ours)).convert("RGB")), px)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px).save(buf, format="PNG")
+    assert np.array_equal(decode_png(buf.getvalue()), px)
 
 
 def test_library_formats_without_pil_surface_typed_errors(spark):

@@ -84,9 +84,12 @@ def main():
     print("RESIZE_ORACLE = \"\"\"\n" + values_sql(resize, r_cols, r_casts)
           + "\n\"\"\"\n")
 
-    # real on-disk formats (BMP / WAV) through the same operators
+    # real on-disk formats (BMP / PNG / WAV) through the same operators
     bmp = e.q_multimodal_bmp(spark, sf).collect()
     print("BMP_ORACLE = \"\"\"\n" + values_sql(bmp, i_cols, i_casts)
+          + "\n\"\"\"\n")
+    png = e.q_multimodal_png(spark, sf).collect()
+    print("PNG_ORACLE = \"\"\"\n" + values_sql(png, i_cols, i_casts)
           + "\n\"\"\"\n")
     wav = e.q_multimodal_wav(spark, sf).collect()
     print("WAV_ORACLE = \"\"\"\n" + values_sql(wav, a_cols, a_casts)
