@@ -1,14 +1,22 @@
 """Benchmark runner — prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ..., "crawl": {...}}
+ "sf": ..., "crawl": {...}, "reps": N, "membw_gbps": {...}}
 
 Headline set: the heaviest oracle-checked operators (agg, broadcast
 join, MinHash-LSH dedup, SimHash, ANN top-k, sessionization) plus the
 flagship crawl-engine fixpoint over the TPC-H-derived web with ALL
 order pages seeded (frontier ≈ |orders|), reporting URLs fetched/sec.
 
+Noise robustness (VERDICT r4 wrong #1): the suite runs ``BENCH_REPS``
+interleaved repetitions (default 3) and reports PER-QUERY MEDIANS (the
+headline ``value`` is the sum of medians; per-rep raws ship alongside
+for spread inspection), and a memory-bandwidth probe (tools/membw.py,
+1/2/8/32 procs) brackets the run so a hypervisor-steal window is
+visible IN the artifact instead of needing a human re-run to adjudicate.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
+     BENCH_REPS (default 3), BENCH_SKIP_MEMBW=1,
      BENCH_SKIP_CRAWL=1 to run only the query set.
 """
 
@@ -69,9 +77,28 @@ def run_crawl_bench(spark, sf_dir: str, max_seed_orderkey: int = 50_000):
     }
 
 
+def probe_membw(levels=(1, 2, 8, 32), mb: int = 200,
+                seconds: float = 0.8) -> dict:
+    """Same-window bus probe: aggregate GB/s at each process count.
+    Embedded in the artifact so a degraded-bus window is visible in the
+    JSON itself (BENCH/BASELINE.md §6's adjudication, automated)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from membw import measure
+
+    return {str(p): round(measure(p, mb, seconds) / 1e9, 2) for p in levels}
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from infinitycrawler_spark.session import get_spark
@@ -90,34 +117,60 @@ def main():
         "events_sessionize", "events_tumbling",
     ]
 
+    membw = None
+    if os.environ.get("BENCH_SKIP_MEMBW") != "1":
+        membw = {"pre": probe_membw()}
+
     # JVM/codegen warmup (untimed)
     all_queries["pricing_summary"](spark, sf_dir).collect()
 
-    timings = {}
-    total = 0.0
-    for name in headline:
-        t0 = time.time()
-        all_queries[name](spark, sf_dir).collect()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    # interleaved reps: rep r runs the WHOLE suite then the crawl, so a
+    # localized steal window hits one rep of everything rather than all
+    # reps of one query — medians then reject it
+    query_reps: dict[str, list[float]] = {name: [] for name in headline}
+    crawl_runs: list[dict] = []
+    skip_crawl = os.environ.get("BENCH_SKIP_CRAWL") == "1"
+    for _ in range(reps):
+        for name in headline:
+            t0 = time.time()
+            all_queries[name](spark, sf_dir).collect()
+            query_reps[name].append(round(time.time() - t0, 3))
+        if not skip_crawl:
+            crawl_runs.append(run_crawl_bench(spark, sf_dir))
+
+    if membw is not None:
+        membw["post"] = probe_membw()
+
+    timings = {name: round(_median(ts), 3) for name, ts in query_reps.items()}
+    total = sum(timings.values())
 
     crawl = None
-    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        crawl = run_crawl_bench(spark, sf_dir)
+    if crawl_runs:
+        walls = [c["wall_s"] for c in crawl_runs]
+        # detail fields from the middle run, headline wall = true median
+        crawl = dict(sorted(crawl_runs, key=lambda c: c["wall_s"])
+                     [(len(crawl_runs) - 1) // 2])
+        crawl["wall_s"] = round(_median(walls), 2)
+        crawl["urls_per_s"] = round(crawl["urls_fetched"] / crawl["wall_s"], 1)
+        crawl["rep_walls"] = walls
         timings["crawl_fixpoint"] = crawl["wall_s"]
         total += crawl["wall_s"]
 
     out = {
-        "metric": "headline-suite wall time (queries + full-frontier crawl)",
+        "metric": "headline-suite wall time (queries + full-frontier crawl;"
+                  " median of interleaved reps)",
         "value": round(total, 2),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "reps": reps,
+        "query_reps": query_reps,
     }
     if crawl:
         out["crawl"] = crawl
+    if membw is not None:
+        out["membw_gbps"] = membw
     print(json.dumps(out))
 
 

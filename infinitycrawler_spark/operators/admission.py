@@ -278,12 +278,23 @@ def admit(
     robots_rules: DataFrame | None = None,
     scope_hosts: DataFrame | None = None,
     robots_epoch: str | None = None,
+    att_hist: DataFrame | None = None,
+    hop_hist: DataFrame | None = None,
 ) -> AdmissionOutput:
     """candidates: CANDIDATES schema rows for one round, where
     ``moved_chain`` is set for redirect candidates. ``states`` must be
     the post-fetch-update state table *including* this round's redirect
     state moves, so a plain left join yields each candidate's effective
-    crawl state."""
+    crawl state.
+
+    When ``att_hist``/``hop_hist`` are provided (split-history mode —
+    the CrawlJob default), ``states`` carries only the live row
+    (schemas.STATES_LIVE) and the attempt/hop logs the MaxRetries /
+    MaxRedirects result rows need are gathered on demand from the
+    append-only history tables for just those (tiny) url sets —
+    state/history.py's scan-not-shuffle pattern. Without them, the
+    legacy full-schema states path is used (states must carry
+    att_log/hop_logs columns)."""
     spark = candidates.sparkSession
     extra_cached: list[DataFrame] = []
 
@@ -358,10 +369,24 @@ def admit(
     # logs the result rows carry — CrawledUri.cs:16-17)
     from infinitycrawler_spark.schemas import ATT_LOG_DDL, HOP_LOG_DDL
 
-    st = states.selectExpr("url", "n_attempts as st_attempts",
-                           "redirect_chain as st_chain",
-                           "last_success as st_success",
-                           "att_log as st_att", "hop_logs as st_hops")
+    # Split-history mode (att_hist provided — the CrawlJob default):
+    # states carries only live rows; the log arrays are gathered in
+    # step 6 for just the MaxRetries/MaxRedirects subsets (tiny).
+    split_hist = att_hist is not None
+    if split_hist:
+        st = states.selectExpr("url", "n_attempts as st_attempts",
+                               "redirect_chain as st_chain",
+                               "last_success as st_success")
+        log_exprs = []
+    else:
+        st = states.selectExpr("url", "n_attempts as st_attempts",
+                               "redirect_chain as st_chain",
+                               "last_success as st_success",
+                               "att_log as st_att", "hop_logs as st_hops")
+        log_exprs = [
+            f"coalesce(st_att, cast(array() as {ATT_LOG_DDL})) as eff_att",
+            f"coalesce(st_hops, cast(array() as {HOP_LOG_DDL})) as eff_hops",
+        ]
     cands = cands.join(st, "url", "left").selectExpr(
         "*",
         "st_attempts is not null as has_state",
@@ -369,8 +394,7 @@ def admit(
         "coalesce(st_chain, moved_chain, cast(array() as array<string>))"
         " as eff_chain",
         "coalesce(st_success, false) as eff_success",
-        f"coalesce(st_att, cast(array() as {ATT_LOG_DDL})) as eff_att",
-        f"coalesce(st_hops, cast(array() as {HOP_LOG_DDL})) as eff_hops",
+        *log_exprs,
     )
 
     # 4. budget fold. exact_order (reference replay / tests) keeps the
@@ -406,7 +430,8 @@ def admit(
         return _admit_post_cache(
             cands, n_admitted, extra_cached, spark, seen, settings,
             robots_map, base_host, round_no, seq_base, per_host_robots,
-            exact_order, lazy_counts, robots_rules, robots_epoch)
+            exact_order, lazy_counts, robots_rules, robots_epoch,
+            att_hist, hop_hist)
     except Exception:
         # the caller only unpersists via AdmissionOutput; on failure that
         # output never exists, so release the caches here or they leak
@@ -435,6 +460,8 @@ def _admit_post_cache(
     lazy_counts: bool,
     robots_rules,
     robots_epoch,
+    att_hist=None,
+    hop_hist=None,
 ) -> AdmissionOutput:
     from infinitycrawler_spark.schemas import ATT_LOG_DDL, HOP_LOG_DDL
 
@@ -509,14 +536,32 @@ def _admit_post_cache(
             f"{att_log} as attempts", f"{hops} as redirect_hops",
         )
 
-    res_retries = _res(routed.filter("route = 'max_retries'"),
-                       "MaxRetries", "eff_attempts", "eff_chain",
-                       "eff_att", "eff_hops")
+    mr = routed.filter("route = 'max_retries'")
+    mrd = routed.filter("route = 'max_redirects'")
+    if att_hist is not None:
+        # split-history mode: gather the log arrays for just these two
+        # (tiny) url sets from the append-only history tables — the
+        # broadcast-driven scan never shuffles or rewrites the history
+        from infinitycrawler_spark.state.history import (
+            gather_attempts,
+            gather_hops,
+        )
+
+        need = (mr.select("url").unionByName(mrd.select("url")).distinct())
+        ga = gather_attempts(att_hist, need, out_col="eff_att")
+        gh = gather_hops(hop_hist, need, out_col="eff_hops")
+        mr = mr.join(ga, "url", "left").join(gh, "url", "left")
+        mrd = mrd.join(gh, "url", "left")
+        att_expr = f"coalesce(eff_att, cast(array() as {ATT_LOG_DDL}))"
+        hops_expr = f"coalesce(eff_hops, cast(array() as {HOP_LOG_DDL}))"
+    else:
+        att_expr, hops_expr = "eff_att", "eff_hops"
+    res_retries = _res(mr, "MaxRetries", "eff_attempts", "eff_chain",
+                       att_expr, hops_expr)
     # MaxRedirects result omits attempts (CrawlRunner.cs:190-195 emits
     # RedirectChain but no Requests)
-    res_redirects = _res(routed.filter("route = 'max_redirects'"),
-                         "MaxRedirects", "0", "eff_chain",
-                         f"cast(array() as {ATT_LOG_DDL})", "eff_hops")
+    res_redirects = _res(mrd, "MaxRedirects", "0", "eff_chain",
+                         f"cast(array() as {ATT_LOG_DDL})", hops_expr)
     # RobotsBlocked at admission carries neither (CrawlRunner.cs:208-212)
     res_blocked = _res(gated.filter("not robots_ok"), "RobotsBlocked",
                        "0", "cast(array() as array<string>)",

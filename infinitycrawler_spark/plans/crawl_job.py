@@ -40,6 +40,7 @@ from infinitycrawler_spark.operators.admission import REDIRECT_CODES, admit
 from infinitycrawler_spark.operators.fetch import fetch_round, split_attempts
 from infinitycrawler_spark.operators.parse import parse_round
 from infinitycrawler_spark.settings import CrawlSettings
+from infinitycrawler_spark.state.history import gather_attempts, gather_hops
 from infinitycrawler_spark.state.store import SnapshotStore
 
 _FRAG = "#.*$"
@@ -176,6 +177,9 @@ class CrawlJob:
         self.base_host = host_of(self.seed_uri)
         self._pending_deltas: list[DataFrame] = []
         self._pending_lineage: list[DataFrame] = []
+        # append-only history segments awaiting their next parquet commit
+        self._pending_att: list[DataFrame] = []
+        self._pending_hops: list[DataFrame] = []
         self._deferred_unpersist: list[DataFrame] = []
         self._next_frontier_count: int | None = None
         self._next_hot_hosts: set[str] | None = None
@@ -490,10 +494,39 @@ class CrawlJob:
                 self.store.read_table(spark, v, "frontier"),
                 {"priority": "cast(0 as int)"})
             seen = self.store.read_table(spark, v, "seen")
-            states = self._migrate(
-                self.store.read_table(spark, v, "states"),
-                {"att_log": f"cast(null as {schemas.ATT_LOG_DDL})",
-                 "hop_logs": f"cast(null as {schemas.HOP_LOG_DDL})"})
+            stored_states = self.store.read_table(spark, v, "states")
+            if "att_log" in stored_states.columns:
+                # legacy snapshot (pre-split history): explode the
+                # per-row log arrays into the append-only tables once,
+                # and stage them as pending deltas so the next commit
+                # persists the migrated history for future resumes
+                att_hist = (stored_states
+                            .select("url", F.posexplode_outer("att_log")
+                                    .alias("pos", "a"))
+                            .filter("a is not null")
+                            .selectExpr("url",
+                                        "cast(pos + 1 as int) as attempt_no",
+                                        "a.start_ms as start_ms",
+                                        "a.elapsed_ms as elapsed_ms",
+                                        "a.status_code as status_code",
+                                        "a.is_success as is_success"))
+                hop_hist = (stored_states
+                            .select("url", F.posexplode_outer("hop_logs")
+                                    .alias("pos", "h"))
+                            .filter("h is not null")
+                            .selectExpr("url",
+                                        "cast(pos + 1 as int) as hop_seq",
+                                        "h.location as location",
+                                        "h.attempts as attempts"))
+                states = stored_states.drop("att_log", "hop_logs")
+                self._pending_att.append(att_hist)
+                self._pending_hops.append(hop_hist)
+            else:
+                states = stored_states
+                att_hist = (self.store.read_deltas(spark, v, "attempts")
+                            or self._empty(schemas.ATT_ROWS))
+                hop_hist = (self.store.read_deltas(spark, v, "hops")
+                            or self._empty(schemas.HOP_ROWS))
             host_state = self.store.read_table(spark, v, "host_state")
             if self.use_bloom:
                 # blobs may lead the snapshot (safe: superset) but a
@@ -508,7 +541,9 @@ class CrawlJob:
             enqueue_log = list(meta.get("enqueue_log", []))
         else:
             seen = self._empty(schemas.SEEN)
-            states = self._empty(schemas.STATES)
+            states = self._empty(schemas.STATES_LIVE)
+            att_hist = self._empty(schemas.ATT_ROWS)
+            hop_hist = self._empty(schemas.HOP_ROWS)
             host_state = self._empty(schemas.HOST_STATE)
             results_total = 0
             round_no = 0
@@ -525,7 +560,8 @@ class CrawlJob:
                         lazy_counts=not precise,
                         robots_rules=self.robots_rules,
                         scope_hosts=self._scope_hosts,
-                        robots_epoch=self._robots_epoch)
+                        robots_epoch=self._robots_epoch,
+                        att_hist=att_hist, hop_hist=hop_hist)
             frontier = adm.frontier_add
             seen = adm.seen_add
             results0 = adm.results.cache()
@@ -625,27 +661,34 @@ class CrawlJob:
                        results_total=results_total,
                        enqueue_log=enqueue_log, metrics=metrics)
         if precise:
-            frontier, seen, states, host_state = self._precise_loop(
-                ctx, frontier, seen, states, host_state, opts, pages_meta,
-                hot_thr, max_rounds)
+            frontier, seen, states, att_hist, hop_hist, host_state = \
+                self._precise_loop(
+                    ctx, frontier, seen, states, att_hist, hop_hist,
+                    host_state, opts, pages_meta, hot_thr, max_rounds)
         else:
-            frontier, seen, states, host_state = self._scale_loop(
-                ctx, frontier, seen, states, host_state, opts, pages_meta,
-                hot_thr, max_rounds)
+            frontier, seen, states, att_hist, hop_hist, host_state = \
+                self._scale_loop(
+                    ctx, frontier, seen, states, att_hist, hop_hist,
+                    host_state, opts, pages_meta, hot_thr, max_rounds)
         round_no = ctx.round_no
         seq_base = ctx.seq_base
         results_total = ctx.results_total
 
         self._join_commits()
-        if self._pending_deltas:
+        if self._pending_deltas or self._pending_att or self._pending_hops:
             # flush rounds executed since the last parquet snapshot
-            delta = self._pending_deltas[0]
-            for d in self._pending_deltas[1:]:
-                delta = delta.unionByName(d)
+            if self._pending_deltas:
+                delta = self._pending_deltas[0]
+                for d in self._pending_deltas[1:]:
+                    delta = delta.unionByName(d)
+            else:
+                delta = self._empty(schemas.RESULTS)
             self._pending_deltas = []
             self._commit(round_no - 1, frontier, seen, states, host_state,
                          delta, round_no - 1, seq_base, results_total,
-                         enqueue_log, lineage_delta=self._flush_lineage())
+                         enqueue_log, lineage_delta=self._flush_lineage(),
+                         att_delta=self._flush_hist("_pending_att"),
+                         hops_delta=self._flush_hist("_pending_hops"))
         last_v = self.store.versions()[-1]
         results = (self.store.read_deltas(spark, last_v, "results")
                    or self._empty(schemas.RESULTS))
@@ -658,8 +701,8 @@ class CrawlJob:
 
     # -------------------------------------------------- round building
     def _build_round(self, round_no, seq_base, frontier, seen, states,
-                     host_state, opts, pages_meta, hot_thr, hot_hosts,
-                     precise, ctx=None, n_frontier=0):
+                     att_hist, hop_hist, host_state, opts, pages_meta,
+                     hot_thr, hot_hosts, precise, ctx=None, n_frontier=0):
         """Construct one round's FULL lazy DAG (fetch → state update →
         routing → parse → results → candidates → admission → checkpoints
         → lineage) WITHOUT running any Spark action in scale mode — so
@@ -710,34 +753,43 @@ class CrawlJob:
                                            "host", "left_anti")
                            .unionByName(host_state_new))
 
-        # ---- crawl-state update (UriCrawlStates per-attempt append;
-        # the CrawlRequest log rides along — CrawlRunner.cs:238-255:
-        # transport-error attempts carry no status code)
+        # ---- crawl-state update (UriCrawlStates per-attempt append —
+        # CrawlRunner.cs:238-255: transport-error attempts carry no
+        # status code). SPLIT HISTORY (VERDICT r4 next #1): the upsert
+        # path carries only the small live row (schemas.STATES_LIVE);
+        # the attempt/hop logs land in append-only delta tables
+        # (ATT_ROWS/HOP_ROWS) checkpointed once per round and never
+        # rewritten — the per-round O(|state|·payload) materialization
+        # residual measured in BENCH/BASELINE.md §8 drops to a small-
+        # constant O(|state|) live-row pass. `touched` is the
+        # delta-sized join of this round's attempts with their prior
+        # live state; every history consumer derives from it.
         ATT = schemas.ATT_LOG_DDL
         HOP = schemas.HOP_LOG_DDL
-        st_updates = (attempt_rows
-                      .join(states, "url", "left")
-                      .selectExpr(
-                          "url",
-                          "coalesce(n_attempts, 0) + 1 as n_attempts",
-                          "coalesce(redirect_chain,"
-                          " cast(array() as array<string>))"
-                          " as redirect_chain",
-                          "coalesce(status_code between 200 and 299,"
-                          " false) as last_success",
-                          f"concat(coalesce(att_log, cast(array() as {ATT})),"
-                          " array(named_struct("
-                          "'start_ms', request_start_ms,"
-                          " 'elapsed_ms', elapsed_ms,"
-                          " 'status_code', status_code,"
-                          " 'is_success', coalesce("
-                          "status_code between 200 and 299, false))))"
-                          " as att_log",
-                          f"coalesce(hop_logs, cast(array() as {HOP}))"
-                          " as hop_logs"))
+        touched = (attempt_rows
+                   .select("url", "request_start_ms", "elapsed_ms",
+                           "status_code")
+                   .join(states.selectExpr(
+                       "url", "n_attempts as prior_n",
+                       "redirect_chain as prior_chain"), "url", "left")
+                   .cache())
+        st_updates = touched.selectExpr(
+            "url",
+            "cast(coalesce(prior_n, 0) + 1 as int) as n_attempts",
+            "coalesce(prior_chain, cast(array() as array<string>))"
+            " as redirect_chain",
+            "coalesce(status_code between 200 and 299, false)"
+            " as last_success")
+        # this round's append-only attempt rows (schemas.ATT_ROWS)
+        att_delta = touched.selectExpr(
+            "url",
+            "cast(coalesce(prior_n, 0) + 1 as int) as attempt_no",
+            "request_start_ms as start_ms", "elapsed_ms", "status_code",
+            "coalesce(status_code between 200 and 299, false)"
+            " as is_success")
         _t("st_updates")
-        # cached: five consumers (states2, moved, st_info×2, redirect
-        # chains) would otherwise re-run the join per materialization
+        # cached: consumers (states2, moved, redirect chains) would
+        # otherwise re-run the anti-join per materialization
         states1 = (states.join(attempt_rows.select("url"), "url", "left_anti")
                    .unionByName(st_updates)).cache()
 
@@ -766,39 +818,78 @@ class CrawlJob:
         w_target = Window.partitionBy("target").orderBy("enqueue_seq")
         # AddRedirect (CrawlRunner.cs:69-90): the target's fresh state
         # has an empty request list; the source's requests move into
-        # the redirect chain as a CrawledUriRedirect hop
-        moved = (red.join(states1.selectExpr(
-                              "url", "redirect_chain as src_chain",
-                              "att_log as src_att",
-                              "hop_logs as src_hops"),
+        # the redirect chain as a CrawledUriRedirect hop. Live row
+        # first; hop rows (with the source's attempt log nested) are
+        # appended to the hop history for exactly the moves that land.
+        moved_base = (red.join(states1.selectExpr(
+                          "url", "redirect_chain as src_chain"),
                           "url", "left")
-                 .withColumn("_rn", F.row_number().over(w_target))
-                 .filter("_rn = 1")
-                 .selectExpr(
-                     "target as url",
-                     "0 as n_attempts",
-                     "concat(coalesce(src_chain,"
-                     " cast(array() as array<string>)), array(url))"
-                     " as redirect_chain",
-                     "false as last_success",
-                     f"cast(array() as {ATT}) as att_log",
-                     f"concat(coalesce(src_hops, cast(array() as {HOP})),"
-                     " array(named_struct('location', url,"
-                     f" 'attempts', coalesce(src_att, cast(array() as {ATT})))))"
-                     " as hop_logs"))
+                      .withColumn("_rn", F.row_number().over(w_target))
+                      .filter("_rn = 1")
+                      .selectExpr("url as src_url", "target",
+                                  "coalesce(src_chain,"
+                                  " cast(array() as array<string>))"
+                                  " as src_chain"))
+        moved = moved_base.selectExpr(
+            "target as url",
+            "0 as n_attempts",
+            "concat(src_chain, array(src_url)) as redirect_chain",
+            "false as last_success")
         states2 = states1.join(red.select(F.col("url")), "url", "left_anti")
-        states2 = states2.unionByName(
-            moved.join(states2.select("url"), "url", "left_anti"))
+        kept = moved.join(states2.select("url"), "url", "left_anti")
+        states2 = states2.unionByName(kept)
+        # hop-history delta for landed moves: the source's existing hop
+        # rows re-keyed to the target, plus one new hop carrying the
+        # source's full attempt log (redirect sources were fetched this
+        # round, so their log = prior history + this round's delta).
+        # All gathers are driven by the tiny redirect-source url set
+        # broadcast against the history scan — never a history shuffle.
+        km = moved_base.join(kept.selectExpr("url as target"),
+                             "target", "left_semi")
+        src_urls = km.selectExpr("src_url as url").distinct()
+        src_att = gather_attempts(att_hist.unionByName(att_delta), src_urls,
+                                  out_col="src_att")
+        src_hop_rows = hop_hist.join(F.broadcast(src_urls), "url",
+                                     "left_semi")
+        hop_copies = (src_hop_rows
+                      .join(km.selectExpr("src_url as url", "target"), "url")
+                      .selectExpr("target as url", "hop_seq", "location",
+                                  "attempts"))
+        new_hops = (km.join(src_att, km.src_url == src_att.url, "left")
+                    .selectExpr("target as url",
+                                "cast(size(src_chain) + 1 as int) as hop_seq",
+                                "src_url as location",
+                                f"coalesce(src_att, cast(array() as {ATT}))"
+                                " as attempts"))
+        hop_delta = hop_copies.unionByName(new_hops)
         _t("states2")
 
         # ---- parse + this round's direct results
         parsed = (self.content_processor or parse_round)(
             successes, self.pages, settings).cache()
         _t("parse")
-        st_info = states1.selectExpr(
-            "url", "n_attempts as r_attempts",
-            "redirect_chain as r_chain",
-            "att_log as r_att", "hop_logs as r_hops")
+        # result emission needs each FETCHED url's full attempt log and
+        # hop list: prior attempts exist only for retried urls
+        # (attempt_no > 1) and hops only for urls that are redirect
+        # targets (prior chain non-empty) — both tiny per-round sets,
+        # broadcast against pruned history scans. st_info itself is
+        # delta-sized (st_updates covers every fetched url).
+        need_hist = (att_delta.filter("attempt_no > 1")
+                     .select("url").distinct())
+        prior_rows = att_hist.join(F.broadcast(need_hist), "url",
+                                   "left_semi")
+        att_now = gather_attempts(prior_rows.unionByName(att_delta),
+                                  None, out_col="r_att")
+        chain_urls = (touched
+                      .filter("size(coalesce(prior_chain,"
+                              " cast(array() as array<string>))) > 0")
+                      .select("url").distinct())
+        hops_now = gather_hops(hop_hist, chain_urls, out_col="r_hops")
+        st_info = (st_updates.selectExpr(
+                       "url", "n_attempts as r_attempts",
+                       "redirect_chain as r_chain")
+                   .join(att_now, "url", "left")
+                   .join(hops_now, "url", "left"))
 
         # "crawled without content" (CrawlRunner.cs:283-290): the
         # result carries Requests + RedirectChain but no Content
@@ -917,7 +1008,11 @@ class CrawlJob:
                                  else None),
                     robots_rules=self.robots_rules,
                     scope_hosts=self._scope_hosts,
-                    robots_epoch=self._robots_epoch)
+                    robots_epoch=self._robots_epoch,
+                    # states2 includes this round's updates/moves, so
+                    # the history handed to admission must too
+                    att_hist=att_hist.unionByName(att_delta),
+                    hop_hist=hop_hist.unionByName(hop_delta))
         seen_add = adm.seen_add.cache()
         _t("admit")
 
@@ -959,6 +1054,23 @@ class CrawlJob:
             mat_seen = seen_next
         states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
         host_state_next = host_state_next.coalesce(np_).localCheckpoint(eager=eager)
+        # history segments: checkpointed ONCE here, appended to the lazy
+        # hist union, never rewritten. Periodic compaction re-checkpoints
+        # the union so the plan width / partition count stays bounded on
+        # long crawls (one linear pass, no shuffle — amortized
+        # O(|hist|/K) per round vs the old O(|state|·payload) rewrite).
+        att_seg = att_delta.coalesce(np_).localCheckpoint(eager=eager)
+        hop_seg = hop_delta.coalesce(np_).localCheckpoint(eager=eager)
+        att_hist_next = att_hist.unionByName(att_seg)
+        hop_hist_next = hop_hist.unionByName(hop_seg)
+        hist_mat = [att_seg, hop_seg]
+        hk = settings.history_compact_rounds
+        if hk > 0 and (round_no + 1) % hk == 0:
+            att_hist_next = (att_hist_next.coalesce(np_)
+                             .localCheckpoint(eager=eager))
+            hop_hist_next = (hop_hist_next.coalesce(np_)
+                             .localCheckpoint(eager=eager))
+            hist_mat = [att_hist_next, hop_hist_next]
         delta = (round_results.unionByName(adm_results)
                  .coalesce(np_).localCheckpoint(eager=eager))
         _t("checkpoints")
@@ -991,16 +1103,20 @@ class CrawlJob:
             frontier_next=frontier_next, seen_next=seen_next,
             mat_seen=mat_seen,
             states2=states2, host_state_next=host_state_next,
+            att_seg=att_seg, hop_seg=hop_seg,
+            att_hist_next=att_hist_next, hop_hist_next=hop_hist_next,
+            hist_mat=hist_mat,
             seen_add=seen_add, lin=lin,
             carried_count=carried_count,
             build_s=time.time() - build_t0,
-            caches=[attempt_rows, parsed, red, states1, seen_add,
+            caches=[attempt_rows, touched, parsed, red, states1, seen_add,
                     *( [adm.cached] if adm.cached is not None else [] ),
                     *adm.extra_cached])
 
     # ------------------------------------------------------ loop drivers
-    def _precise_loop(self, ctx, frontier, seen, states, host_state,
-                      opts, pages_meta, hot_thr, max_rounds):
+    def _precise_loop(self, ctx, frontier, seen, states, att_hist,
+                      hop_hist, host_state, opts, pages_meta, hot_thr,
+                      max_rounds):
         """Sequential driver (budget / exact-order replay): per-round
         exact counting, eager checkpoints, synchronous commits — the
         reference-replay semantics the golden tests pin."""
@@ -1020,7 +1136,7 @@ class CrawlJob:
             rt0 = time.time()
             plan = self._build_round(
                 ctx.round_no, ctx.seq_base, frontier, seen, states,
-                host_state, opts, pages_meta, hot_thr,
+                att_hist, hop_hist, host_state, opts, pages_meta, hot_thr,
                 self._next_hot_hosts, precise=True, ctx=ctx,
                 n_frontier=n_frontier)
 
@@ -1055,6 +1171,8 @@ class CrawlJob:
             if plan.lin is not None:
                 self._pending_lineage.append(plan.lin)
             delta = plan.delta
+            self._pending_att.append(plan.att_seg)
+            self._pending_hops.append(plan.hop_seg)
             if (ctx.round_no + 1) % self.snapshot_every == 0:
                 for d in self._pending_deltas:
                     delta = d.unionByName(delta)
@@ -1064,11 +1182,20 @@ class CrawlJob:
                              plan.states2, plan.host_state_next, delta,
                              ctx.round_no, ctx.seq_base, ctx.results_total,
                              ctx.enqueue_log,
-                             lineage_delta=self._flush_lineage())
+                             lineage_delta=self._flush_lineage(),
+                             att_delta=self._flush_hist("_pending_att"),
+                             hops_delta=self._flush_hist("_pending_hops"))
                 self._deferred_unpersist.extend(
                     [plan.frontier_next, plan.seen_next, plan.states2,
                      plan.host_state_next, delta])
                 frontier, seen, states, host_state = self._reload()
+                # history from parquet too: truncates the in-session
+                # union lineage the same way _reload does for tables
+                v = self.store.versions()[-1]
+                att_hist = (self.store.read_deltas(self.spark, v, "attempts")
+                            or self._empty(schemas.ATT_ROWS))
+                hop_hist = (self.store.read_deltas(self.spark, v, "hops")
+                            or self._empty(schemas.HOP_ROWS))
                 for df in self._deferred_unpersist:
                     df.unpersist()
                 self._deferred_unpersist = []
@@ -1078,12 +1205,14 @@ class CrawlJob:
                 frontier, seen, states = (plan.frontier_next, plan.seen_next,
                                           plan.states2)
                 host_state = plan.host_state_next
+                att_hist, hop_hist = plan.att_hist_next, plan.hop_hist_next
                 self._pending_deltas.append(delta)
             ctx.round_no += 1
-        return frontier, seen, states, host_state
+        return frontier, seen, states, att_hist, hop_hist, host_state
 
-    def _scale_loop(self, ctx, frontier, seen, states, host_state,
-                    opts, pages_meta, hot_thr, max_rounds):
+    def _scale_loop(self, ctx, frontier, seen, states, att_hist,
+                    hop_hist, host_state, opts, pages_meta, hot_thr,
+                    max_rounds):
         """Pipelined driver (scale mode): round N+1's driver-serial DAG
         construction overlaps round N's executor actions (an action
         worker thread runs A+B while the main thread builds the next
@@ -1119,8 +1248,9 @@ class CrawlJob:
                 if plan is None:
                     plan = self._build_round(
                         ctx.round_no, ctx.seq_base, frontier, seen, states,
-                        host_state, opts, pages_meta, hot_thr,
-                        self._next_hot_hosts, precise=False, ctx=ctx)
+                        att_hist, hop_hist, host_state, opts, pages_meta,
+                        hot_thr, self._next_hot_hosts, precise=False,
+                        ctx=ctx)
                 fut = actions.submit(self._run_actions, plan, hot_thr)
                 # overlap: construct round N+1's DAG (pure driver-side
                 # py4j work) while round N's actions run on the cluster;
@@ -1128,6 +1258,7 @@ class CrawlJob:
                 next_plan = self._build_round(
                     ctx.round_no + 1, self._scale_seq_base(ctx.round_no + 1),
                     plan.frontier_next, plan.seen_next, plan.states2,
+                    plan.att_hist_next, plan.hop_hist_next,
                     plan.host_state_next, opts, pages_meta, hot_thr,
                     self._next_hot_hosts, precise=False, ctx=ctx)
                 stats = fut.result()
@@ -1171,7 +1302,10 @@ class CrawlJob:
                 frontier, seen, states = (plan.frontier_next, plan.seen_next,
                                           plan.states2)
                 host_state = plan.host_state_next
+                att_hist, hop_hist = plan.att_hist_next, plan.hop_hist_next
                 self._pending_deltas.append(plan.delta)
+                self._pending_att.append(plan.att_seg)
+                self._pending_hops.append(plan.hop_seg)
                 ctx.seq_base = self._scale_seq_base(ctx.round_no + 1)
                 if (ctx.round_no + 1) % self.snapshot_every == 0:
                     delta = self._pending_deltas[0]
@@ -1184,6 +1318,8 @@ class CrawlJob:
                         delta, ctx.round_no, ctx.seq_base,
                         ctx.results_total, list(ctx.enqueue_log),
                         lineage_delta=self._flush_lineage(),
+                        att_delta=self._flush_hist("_pending_att"),
+                        hops_delta=self._flush_hist("_pending_hops"),
                         unpersist_after=flushed)
                 ctx.round_no += 1
                 plan, next_plan = next_plan, None
@@ -1197,7 +1333,7 @@ class CrawlJob:
                     for df in p.caches:
                         df.unpersist()
             actions.shutdown(wait=True)
-        return frontier, seen, states, host_state
+        return frontier, seen, states, att_hist, hop_hist, host_state
 
     def _run_actions(self, plan, hot_thr):
         """Round actions on the worker thread: A materializes the heavy
@@ -1211,7 +1347,8 @@ class CrawlJob:
         a0 = time.time()
         n_delta = plan.delta.count()
         t_a = time.time() - a0
-        mat = (plan.mat_seen, plan.states2, plan.host_state_next)
+        mat = (plan.mat_seen, plan.states2, plan.host_state_next,
+               *plan.hist_mat)
         if plan.lin is not None:
             mat = (*mat, plan.lin)
         (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot,
@@ -1290,14 +1427,33 @@ class CrawlJob:
         self._pending_lineage = []
         return out
 
+    def _flush_hist(self, attr: str) -> DataFrame | None:
+        """Union-and-clear a pending history-segment list
+        (``_pending_att`` / ``_pending_hops``) for a commit."""
+        segs = getattr(self, attr)
+        if not segs:
+            return None
+        out = segs[0]
+        for d in segs[1:]:
+            out = out.unionByName(d)
+        setattr(self, attr, [])
+        return out
+
     # ------------------------------------------------------- snapshots
     def _commit(self, version_round, frontier, seen, states, host_state,
                 results_delta, round_no, seq_base, results_total,
-                enqueue_log, initial=False, lineage_delta=None):
+                enqueue_log, initial=False, lineage_delta=None,
+                att_delta=None, hops_delta=None):
         version = version_round + 1  # v0 = initial state before round 0
         deltas = {"results": results_delta}
         if lineage_delta is not None:
             deltas["lineage"] = lineage_delta
+        # append-only history (split states): per-version deltas, merged
+        # across versions on resume by read_deltas — expiry keeps them
+        if att_delta is not None:
+            deltas["attempts"] = att_delta
+        if hops_delta is not None:
+            deltas["hops"] = hops_delta
         self.store.commit(
             version,
             tables={"frontier": frontier, "seen": seen, "states": states,
@@ -1337,8 +1493,9 @@ class CrawlJob:
     @staticmethod
     def _migrate(df: DataFrame, defaults: dict[str, str]) -> DataFrame:
         """Add columns that snapshots written by older engine versions
-        lack (schema evolution on resume): FRONTIER.priority,
-        STATES.att_log/hop_logs."""
+        lack (schema evolution on resume): FRONTIER.priority. (Legacy
+        STATES att_log/hop_logs arrays are handled separately in _run —
+        exploded into the append-only history tables.)"""
         missing = [f"{expr} as {name}" for name, expr in defaults.items()
                    if name not in df.columns]
         return df.selectExpr("*", *missing) if missing else df

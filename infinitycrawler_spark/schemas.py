@@ -104,6 +104,42 @@ STATES = StructType([
     ])), True),
 ])
 
+#: The upsert-path state row (VERDICT r4 next #1): the per-attempt and
+#: per-hop logs are SPLIT OUT of the table that re-materializes every
+#: round into append-only delta tables (ATT_ROWS / HOP_ROWS below), so
+#: the per-round localCheckpoint carries only small fixed-width rows —
+#: the measured O(|state|·payload) round residual becomes O(|state|)
+#: with a small constant, and the history is written once, never
+#: rewritten (BENCH/BASELINE.md §8).
+STATES_LIVE = StructType([
+    StructField("url", StringType(), False),
+    StructField("n_attempts", IntegerType(), False),
+    StructField("redirect_chain", ArrayType(StringType()), False),
+    StructField("last_success", BooleanType(), False),
+])
+
+#: Append-only attempt history — one flat row per fetch attempt, keyed
+#: (url, attempt_no); UriCrawlState.Requests (UriCrawlState.cs:10)
+#: re-expressed as a delta table.
+ATT_ROWS = StructType([
+    StructField("url", StringType(), False),
+    StructField("attempt_no", IntegerType(), False),
+    StructField("start_ms", DoubleType(), True),
+    StructField("elapsed_ms", DoubleType(), True),
+    StructField("status_code", IntegerType(), True),
+    StructField("is_success", BooleanType(), False),
+])
+
+#: Append-only redirect-hop history — one row per (target url, hop),
+#: the hop source's attempts nested at move time so emission needs no
+#: transitive lookup; CrawledUriRedirect parity (CrawledUri.cs:30-34).
+HOP_ROWS = StructType([
+    StructField("url", StringType(), False),
+    StructField("hop_seq", IntegerType(), False),
+    StructField("location", StringType(), True),
+    StructField("attempts", ArrayType(ATTEMPT_REC), True),
+])
+
 HOST_STATE = StructType([
     StructField("host", StringType(), False),
     StructField("backoff_ms", LongType(), False),

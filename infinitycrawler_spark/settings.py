@@ -114,5 +114,11 @@ class CrawlSettings:
     #: admission scans ≤ N segments. 0 = off (full rewrite every round);
     #: ignored in precise/replay mode.
     seen_segment_rounds: int = 0
+    #: Compact the append-only attempt/hop history unions (split-state
+    #: tables — state/history.py) every N rounds: re-checkpoint the
+    #: union so plan width and partition count stay bounded on long
+    #: crawls. One linear pass, no shuffle; amortized O(|hist|/N) per
+    #: round. 0 = never compact (fine for short crawls).
+    history_compact_rounds: int = 64
     #: Validate image payloads (decode + PSNR + phash + caption) during parse.
     validate_payload: bool = True

@@ -162,6 +162,103 @@ def test_star_single_edge_and_self_loop(spark):
     assert got == {"a": "a", "b": "a"}
 
 
+# ------------------------------------------------ split-history states
+
+
+def test_resume_from_legacy_array_states_store(spark, tmp_path):
+    """A store written by the pre-split engine carried att_log/hop_logs
+    arrays ON the states rows. Resuming over one must (a) explode the
+    arrays into the append-only history tables, (b) converge to the
+    exact golden result, and (c) persist the migrated history so a
+    second resume still has it."""
+    import os
+    import shutil
+
+    from infinitycrawler_spark import golden
+    from infinitycrawler_spark.functions.robots import parse_robots_txt
+    from infinitycrawler_spark.plans.crawl_job import CrawlJob
+    from infinitycrawler_spark.settings import (
+        CrawlSettings,
+        RequestProcessorOptions,
+    )
+    from infinitycrawler_spark.sources.web import pages_df
+    from infinitycrawler_spark.state.history import gather_attempts, gather_hops
+    from infinitycrawler_spark.state.store import SnapshotStore
+    from infinitycrawler_spark.synth.fixtures import basic_site
+
+    settings = CrawlSettings(
+        request_processor_options=RequestProcessorOptions().no_delay())
+
+    def job(root):
+        fx = basic_site()
+        return CrawlJob(
+            spark=spark, pages=pages_df(spark, fx),
+            robots_map={h: parse_robots_txt(t)
+                        for h, t in fx.robots_txt.items()},
+            sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+            settings=settings, store_root=root, snapshot_every=1)
+
+    root = str(tmp_path / "state")
+    # partial crawl (deterministic cut) → committed mid-crawl snapshot
+    # in the NEW format, with attempt history already populated
+    job(root).run(max_rounds=2)
+
+    # rewrite the snapshot in the LEGACY format: arrays back onto the
+    # states rows, history delta files removed
+    store = SnapshotStore(root)
+    v = store.versions()[-1]
+    live = store.read_table(spark, v, "states")
+    assert "att_log" not in live.columns  # new engine writes live rows
+    att = store.read_deltas(spark, v, "attempts")
+    hops = store.read_deltas(spark, v, "hops")
+    legacy = live
+    if att is not None:
+        legacy = legacy.join(
+            gather_attempts(att, None, out_col="att_log"), "url", "left")
+    else:
+        legacy = legacy.selectExpr(
+            "*", "cast(null as array<struct<start_ms:double,"
+            "elapsed_ms:double,status_code:int,is_success:boolean>>)"
+            " as att_log")
+    if hops is not None:
+        legacy = legacy.join(
+            gather_hops(hops, None, out_col="hop_logs"), "url", "left")
+    else:
+        legacy = legacy.selectExpr(
+            "*", "cast(null as array<struct<location:string,"
+            "attempts:array<struct<start_ms:double,elapsed_ms:double,"
+            "status_code:int,is_success:boolean>>>>) as hop_logs")
+    tmp_out = str(tmp_path / "legacy_states.parquet")
+    legacy.write.mode("overwrite").parquet(tmp_out)
+    for vv in store.versions():
+        vdir = store._vdir(vv)
+        for name in ("attempts_delta.parquet", "hops_delta.parquet"):
+            p = os.path.join(vdir, name)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+    states_path = os.path.join(store._vdir(v), "states.parquet")
+    shutil.rmtree(states_path)
+    shutil.move(tmp_out, states_path)
+
+    # resume over the legacy store → exact golden convergence
+    g = golden.crawl(basic_site(), settings)
+    resumed = job(root).run(resume=True)
+    got = {(r.url, r.status, r.n_attempts) for r in resumed.results.collect()}
+    assert got == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in resumed.seen.collect()} == g.seen
+    # attempt logs survived the migration: every Crawled result carries
+    # exactly n_attempts attempt records
+    for r in resumed.results.collect():
+        if r.status == "Crawled":
+            assert len(r.attempts) == r.n_attempts, r.url
+    # the migrated history was persisted for future resumes
+    v2 = store.versions()[-1]
+    assert store.read_deltas(spark, v2, "attempts") is not None
+    again = job(root).run(resume=True)
+    got2 = {(r.url, r.status, r.n_attempts) for r in again.results.collect()}
+    assert got2 == got
+
+
 # ----------------------------------------------------------- streaming
 
 
