@@ -547,7 +547,12 @@ def _admit_post_cache(
             gather_hops,
         )
 
-        need = (mr.select("url").unionByName(mrd.select("url")).distinct())
+        # checkpointed (tiny url list): `need` embeds the routed tree
+        # twice and is itself embedded in both gathers, which are then
+        # joined back onto mr/mrd — without truncation the candidates
+        # subtree is re-analyzed ~6× per round (driver planning time)
+        need = (mr.select("url").unionByName(mrd.select("url")).distinct()
+                .coalesce(1).localCheckpoint(eager=False))
         ga = gather_attempts(att_hist, need, out_col="eff_att")
         gh = gather_hops(hop_hist, need, out_col="eff_hops")
         mr = mr.join(ga, "url", "left").join(gh, "url", "left")

@@ -780,13 +780,21 @@ class CrawlJob:
             " as redirect_chain",
             "coalesce(status_code between 200 and 299, false)"
             " as last_success")
-        # this round's append-only attempt rows (schemas.ATT_ROWS)
+        # this round's append-only attempt rows (schemas.ATT_ROWS),
+        # checkpointed IMMEDIATELY: every downstream consumer (redirect
+        # moves, emission gathers, admission, the history union) embeds
+        # the segment's tiny checkpoint plan instead of re-embedding —
+        # and re-planning — the whole construction (measured: the round
+        # DAG-build tripled without this)
+        eager = self.eager_checkpoint and precise
+        np_ = self._n_parts
         att_delta = touched.selectExpr(
             "url",
             "cast(coalesce(prior_n, 0) + 1 as int) as attempt_no",
             "request_start_ms as start_ms", "elapsed_ms", "status_code",
             "coalesce(status_code between 200 and 299, false)"
             " as is_success")
+        att_seg = att_delta.coalesce(np_).localCheckpoint(eager=eager)
         _t("st_updates")
         # cached: consumers (states2, moved, redirect chains) would
         # otherwise re-run the anti-join per materialization
@@ -821,6 +829,12 @@ class CrawlJob:
         # the redirect chain as a CrawledUriRedirect hop. Live row
         # first; hop rows (with the source's attempt log nested) are
         # appended to the hop history for exactly the moves that land.
+        # checkpointed (tiny: one row per landed redirect): moved_base
+        # and kept below are each cloned into 4-6 downstream LOGICAL
+        # trees (states2, km, hop copies/new hops, redirect cands), and
+        # every clone re-embeds the whole fetch-chain subtree — the
+        # analyzer walks trees, not DAGs, so without truncation the
+        # round's driver-side planning time triples (measured)
         moved_base = (red.join(states1.selectExpr(
                           "url", "redirect_chain as src_chain"),
                           "url", "left")
@@ -829,14 +843,16 @@ class CrawlJob:
                       .selectExpr("url as src_url", "target",
                                   "coalesce(src_chain,"
                                   " cast(array() as array<string>))"
-                                  " as src_chain"))
+                                  " as src_chain")
+                      .coalesce(np_).localCheckpoint(eager=eager))
         moved = moved_base.selectExpr(
             "target as url",
             "0 as n_attempts",
             "concat(src_chain, array(src_url)) as redirect_chain",
             "false as last_success")
         states2 = states1.join(red.select(F.col("url")), "url", "left_anti")
-        kept = moved.join(states2.select("url"), "url", "left_anti")
+        kept = (moved.join(states2.select("url"), "url", "left_anti")
+                .coalesce(np_).localCheckpoint(eager=eager))
         states2 = states2.unionByName(kept)
         # hop-history delta for landed moves: the source's existing hop
         # rows re-keyed to the target, plus one new hop carrying the
@@ -847,7 +863,7 @@ class CrawlJob:
         km = moved_base.join(kept.selectExpr("url as target"),
                              "target", "left_semi")
         src_urls = km.selectExpr("src_url as url").distinct()
-        src_att = gather_attempts(att_hist.unionByName(att_delta), src_urls,
+        src_att = gather_attempts(att_hist.unionByName(att_seg), src_urls,
                                   out_col="src_att")
         src_hop_rows = hop_hist.join(F.broadcast(src_urls), "url",
                                      "left_semi")
@@ -862,6 +878,7 @@ class CrawlJob:
                                 f"coalesce(src_att, cast(array() as {ATT}))"
                                 " as attempts"))
         hop_delta = hop_copies.unionByName(new_hops)
+        hop_seg = hop_delta.coalesce(np_).localCheckpoint(eager=eager)
         _t("states2")
 
         # ---- parse + this round's direct results
@@ -874,22 +891,26 @@ class CrawlJob:
         # targets (prior chain non-empty) — both tiny per-round sets,
         # broadcast against pruned history scans. st_info itself is
         # delta-sized (st_updates covers every fetched url).
-        need_hist = (att_delta.filter("attempt_no > 1")
+        need_hist = (att_seg.filter("attempt_no > 1")
                      .select("url").distinct())
         prior_rows = att_hist.join(F.broadcast(need_hist), "url",
                                    "left_semi")
-        att_now = gather_attempts(prior_rows.unionByName(att_delta),
+        att_now = gather_attempts(prior_rows.unionByName(att_seg),
                                   None, out_col="r_att")
         chain_urls = (touched
                       .filter("size(coalesce(prior_chain,"
                               " cast(array() as array<string>))) > 0")
                       .select("url").distinct())
         hops_now = gather_hops(hop_hist, chain_urls, out_col="r_hops")
+        # delta-sized; checkpointed so the two result paths (and the
+        # delta checkpoint embedding both) reference one shallow plan
+        # instead of re-planning the gather joins per consumer
         st_info = (st_updates.selectExpr(
                        "url", "n_attempts as r_attempts",
                        "redirect_chain as r_chain")
                    .join(att_now, "url", "left")
-                   .join(hops_now, "url", "left"))
+                   .join(hops_now, "url", "left")
+                   .coalesce(np_).localCheckpoint(eager=eager))
 
         # "crawled without content" (CrawlRunner.cs:283-290): the
         # result carries Requests + RedirectChain but no Content
@@ -1011,8 +1032,8 @@ class CrawlJob:
                     robots_epoch=self._robots_epoch,
                     # states2 includes this round's updates/moves, so
                     # the history handed to admission must too
-                    att_hist=att_hist.unionByName(att_delta),
-                    hop_hist=hop_hist.unionByName(hop_delta))
+                    att_hist=att_hist.unionByName(att_seg),
+                    hop_hist=hop_hist.unionByName(hop_seg))
         seen_add = adm.seen_add.cache()
         _t("admit")
 
@@ -1033,9 +1054,8 @@ class CrawlJob:
         # — measured 1056 tasks on the final delta write.
         # scale mode keeps every checkpoint lazy; the fused stats
         # actions materialize them (eager would cost one job per
-        # table — 5 extra driver round-trips per crawl round)
-        eager = self.eager_checkpoint and precise
-        np_ = self._n_parts
+        # table — 5 extra driver round-trips per crawl round).
+        # (eager/np_ are defined up at the att_seg checkpoint)
         frontier_next = (carried.unionByName(adm.frontier_add)
                          .coalesce(np_).localCheckpoint(eager=eager))
         # seen-set checkpoint strategy: by default the whole (old ∪ new)
@@ -1054,13 +1074,12 @@ class CrawlJob:
             mat_seen = seen_next
         states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
         host_state_next = host_state_next.coalesce(np_).localCheckpoint(eager=eager)
-        # history segments: checkpointed ONCE here, appended to the lazy
-        # hist union, never rewritten. Periodic compaction re-checkpoints
-        # the union so the plan width / partition count stays bounded on
-        # long crawls (one linear pass, no shuffle — amortized
-        # O(|hist|/K) per round vs the old O(|state|·payload) rewrite).
-        att_seg = att_delta.coalesce(np_).localCheckpoint(eager=eager)
-        hop_seg = hop_delta.coalesce(np_).localCheckpoint(eager=eager)
+        # history segments (att_seg/hop_seg, checkpointed above at
+        # construction): appended to the lazy hist union, never
+        # rewritten. Periodic compaction re-checkpoints the union so
+        # plan width / partition count stay bounded on long crawls (one
+        # linear pass, no shuffle — amortized O(|hist|/K) per round vs
+        # the old O(|state|·payload) rewrite).
         att_hist_next = att_hist.unionByName(att_seg)
         hop_hist_next = hop_hist.unionByName(hop_seg)
         hist_mat = [att_seg, hop_seg]

@@ -40,12 +40,16 @@ def gather_attempts(att_rows: DataFrame, urls: DataFrame | None,
         F.col("elapsed_ms").alias("elapsed_ms"),
         F.col("status_code").alias("status_code"),
         F.col("is_success").alias("is_success"))
+    # sort by (attempt_no, rec) then project the rec field out of the
+    # array — GetArrayStructFields instead of a transform() lambda: the
+    # higher-order function costs ~3× more DRIVER PLANNING time, and
+    # these gather plans are rebuilt every crawl round
     return (att_rows
             .groupBy("url")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct(F.col("attempt_no").alias("n"), rec.alias("a")))),
-                lambda s: s["a"]).alias(out_col)))
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("attempt_no").alias("n"), rec.alias("a"))))
+                .alias("_s"))
+            .select("url", F.col("_s.a").alias(out_col)))
 
 
 def gather_hops(hop_rows: DataFrame, urls: DataFrame | None,
@@ -60,7 +64,7 @@ def gather_hops(hop_rows: DataFrame, urls: DataFrame | None,
                    F.col("attempts").alias("attempts"))
     return (hop_rows
             .groupBy("url")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct(F.col("hop_seq").alias("n"), hop.alias("h")))),
-                lambda s: s["h"]).alias(out_col)))
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("hop_seq").alias("n"), hop.alias("h"))))
+                .alias("_s"))
+            .select("url", F.col("_s.h").alias(out_col)))
