@@ -366,6 +366,18 @@ def q_dedup_components(spark, sf):
                               k=8, bands=4, shingle_n=3)
 
 
+def q_dedup_components_star(spark, sf):
+    """The same clusters via large-star/small-star contraction
+    (operators/graph.py::connected_components_star — O(log n) rounds,
+    diameter-independent; the web-graph-scale alternative to min-label
+    propagation). Oracle: identical recursive-CTE closure — both
+    algorithms must produce the same labeling."""
+    from infinitycrawler_spark.operators.graph import minhash_components
+    return minhash_components(_t(spark, sf, "documents"),
+                              k=8, bands=4, shingle_n=3,
+                              algorithm="star")
+
+
 def q_link_pagerank(spark, sf):
     """PageRank (5 power iterations, d=0.85) over a cyclic link graph
     derived from the TPC-H tables: customer→order→part→supplier→nation→
@@ -1181,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_curate": q_pairs_curate,
         # graph ops (iterative joins; exact SQL oracles)
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "link_pagerank": q_link_pagerank,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1249,6 +1262,14 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # the star-contraction variant must produce the identical
+    # labeling — same recursive-CTE closure oracle
+    d["dedup_components_star"] = d["dedup_components"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -172,15 +172,21 @@ def connected_components_star(edges: DataFrame, src: str = "src",
 
 
 def minhash_components(docs: DataFrame, k: int = 8, bands: int = 4,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       algorithm: str = "label") -> DataFrame:
     """Near-duplicate clusters: MinHash-LSH candidate pairs closed into
     connected components → (doc_id, component, comp_size). The
     keep-one-per-cluster step of a dedup pipeline (keeper = the row
-    where doc_id == component)."""
+    where doc_id == component). ``algorithm``: "label" (min-label
+    propagation — right for near-clique dedup clusters) or "star"
+    (large-star/small-star contraction — O(log n) rounds, diameter-
+    independent; same labels)."""
     from infinitycrawler_spark.operators.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(docs, k=k, bands=bands, shingle_n=shingle_n)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    cc = (connected_components_star if algorithm == "star"
+          else connected_components)
+    comp = cc(pairs, src="doc_a", dst="doc_b")
     w = Window.partitionBy("component")
     return (comp.select(F.col("id").alias("doc_id"), "component",
                         F.count("*").over(w).cast("long").alias("comp_size"))
