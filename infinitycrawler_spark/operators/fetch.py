@@ -169,8 +169,17 @@ def split_attempts(
     emit a state trailer carrying the per-shard request-count DELTA;
     merge conservatively (max backoff, min success streak, base + summed
     deltas, latest clock). ``prev_host_state`` supplies the persisted
-    request-count base (absent/empty → base 0)."""
-    attempts = attempts.cache()
+    request-count base (absent/empty → base 0).
+
+    ``attempts`` is lazily localCheckpoint'ed (not cached): the fetch
+    chain is the deepest subtree of the crawl round and gets CLONED into
+    ~10 downstream logical trees — a checkpoint collapses every clone to
+    a scan (the analyzer walks trees, not DAGs, so with a cache the
+    driver re-analyzes the whole chain per clone; measured seconds of
+    planning per round at mirror scale). A cache here also leaked: no
+    caller ever held a handle to unpersist it. Checkpoint blocks are
+    freed by the ContextCleaner when the round's frames are dropped."""
+    attempts = attempts.localCheckpoint(eager=False)
     attempt_rows = attempts.filter(~F.col("is_state")).drop(
         "is_state", "backoff_ms", "successes", "request_count", "clock_ms")
     new_state = (attempts.filter(F.col("is_state"))
