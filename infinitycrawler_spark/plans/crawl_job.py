@@ -150,6 +150,20 @@ class CrawlJob:
     #: so host count is unbounded (a driver dict is not). robots_map
     #: still supplies the base host's crawl-delay merge if present.
     robots_rules: DataFrame | None = None
+    #: Topology-aware checkpoint-handle scheduling (scale mode only).
+    #: Creating a localCheckpoint handle runs `toRdd`, and any
+    #: BroadcastHashJoin in the plan executes its BUILD SIDE right
+    #: there — the split-history plans carry broadcasts whose build
+    #: sides chain through the round's own fetch. True = defer those
+    #: handles (hop segment, results delta) to the action thread so the
+    #: driver-serial build phase never runs executor work — measured
+    #: +30-40% 4-executor cluster throughput (the driver would
+    #: otherwise stall N executors per round). False = create them at
+    #: build — on local[N] the driver SHARES the executor cores, so the
+    #: build-phase execution is free overlap that prefetches the next
+    #: round's chains (measured ~20% better local wall). None = auto:
+    #: defer unless the master is local[*].
+    defer_heavy_checkpoints: bool | None = None
 
     def __post_init__(self):
         import threading
@@ -183,6 +197,11 @@ class CrawlJob:
         self._deferred_unpersist: list[DataFrame] = []
         self._next_frontier_count: int | None = None
         self._next_hot_hosts: set[str] | None = None
+        if self.defer_heavy_checkpoints is None:
+            master = self.spark.sparkContext.master or ""
+            self._defer_ckpt = not master.startswith("local")
+        else:
+            self._defer_ckpt = bool(self.defer_heavy_checkpoints)
         self._n_seen = 0
         self._n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         self._bloom_store = (
@@ -845,6 +864,7 @@ class CrawlJob:
                                   " cast(array() as array<string>))"
                                   " as src_chain")
                       .coalesce(np_).localCheckpoint(eager=eager))
+        _t("moved_ckpt")
         moved = moved_base.selectExpr(
             "target as url",
             "0 as n_attempts",
@@ -853,6 +873,7 @@ class CrawlJob:
         states2 = states1.join(red.select(F.col("url")), "url", "left_anti")
         kept = (moved.join(states2.select("url"), "url", "left_anti")
                 .coalesce(np_).localCheckpoint(eager=eager))
+        _t("kept_ckpt")
         states2 = states2.unionByName(kept)
         # hop-history delta for landed moves: the source's existing hop
         # rows re-keyed to the target, plus one new hop carrying the
@@ -878,7 +899,25 @@ class CrawlJob:
                                 f"coalesce(src_att, cast(array() as {ATT}))"
                                 " as attempts"))
         hop_delta = hop_copies.unionByName(new_hops)
-        hop_seg = hop_delta.coalesce(np_).localCheckpoint(eager=eager)
+        _t("hop_plan")
+        # CHECKPOINT-HANDLE DISCIPLINE (measured on the multi-JVM
+        # cluster): creating a localCheckpoint handle runs
+        # `queryExecution.toRdd`, and any BroadcastHashJoin in the plan
+        # EXECUTES its build side right there — so a handle whose
+        # broadcast build side chains through THIS round's fetch
+        # (src_urls ← km ← … ← attempts) runs the whole fetch during
+        # the driver-serial build phase, destroying the pipelined
+        # overlap (round builds of 11-32 s on a 4-executor cluster).
+        # Scale mode on a real cluster therefore defers hop_seg (and
+        # delta below) to the action thread; precise mode is sequential
+        # and local[N] shares driver/executor cores (build-phase
+        # execution is free prefetch) — both keep them inline. See
+        # CrawlJob.defer_heavy_checkpoints.
+        defer = (not precise) and self._defer_ckpt
+        if not defer:
+            hop_seg = hop_delta.coalesce(np_).localCheckpoint(eager=eager)
+        else:
+            hop_seg = None
         _t("states2")
 
         # ---- parse + this round's direct results
@@ -902,15 +941,17 @@ class CrawlJob:
                               " cast(array() as array<string>))) > 0")
                       .select("url").distinct())
         hops_now = gather_hops(hop_hist, chain_urls, out_col="r_hops")
-        # delta-sized; checkpointed so the two result paths (and the
-        # delta checkpoint embedding both) reference one shallow plan
-        # instead of re-planning the gather joins per consumer
+        # delta-sized. Deferred mode keeps it lazy (its gather
+        # broadcasts chain through this round's fetch and must fire on
+        # the action thread inside delta's checkpoint); inline mode
+        # checkpoints it so both result paths share one shallow plan.
         st_info = (st_updates.selectExpr(
                        "url", "n_attempts as r_attempts",
                        "redirect_chain as r_chain")
                    .join(att_now, "url", "left")
-                   .join(hops_now, "url", "left")
-                   .coalesce(np_).localCheckpoint(eager=eager))
+                   .join(hops_now, "url", "left"))
+        if not defer:
+            st_info = st_info.coalesce(np_).localCheckpoint(eager=eager)
 
         # "crawled without content" (CrawlRunner.cs:283-290): the
         # result carries Requests + RedirectChain but no Content
@@ -1031,9 +1072,11 @@ class CrawlJob:
                     scope_hosts=self._scope_hosts,
                     robots_epoch=self._robots_epoch,
                     # states2 includes this round's updates/moves, so
-                    # the history handed to admission must too
+                    # the history handed to admission must too (raw hop
+                    # delta in scale mode — hop_seg is action-deferred)
                     att_hist=att_hist.unionByName(att_seg),
-                    hop_hist=hop_hist.unionByName(hop_seg))
+                    hop_hist=hop_hist.unionByName(
+                        hop_seg if hop_seg is not None else hop_delta))
         seen_add = adm.seen_add.cache()
         _t("admit")
 
@@ -1058,6 +1101,7 @@ class CrawlJob:
         # (eager/np_ are defined up at the att_seg checkpoint)
         frontier_next = (carried.unionByName(adm.frontier_add)
                          .coalesce(np_).localCheckpoint(eager=eager))
+        _t("ck_frontier")
         # seen-set checkpoint strategy: by default the whole (old ∪ new)
         # table re-materializes every round — O(|seen|)/round, the
         # state-proportional residual measured in BENCH/BASELINE.md §8.
@@ -1072,8 +1116,11 @@ class CrawlJob:
             seen_next = (seen.unionByName(seen_add)
                          .coalesce(np_).localCheckpoint(eager=eager))
             mat_seen = seen_next
+        _t("ck_seen")
         states2 = states2.coalesce(np_).localCheckpoint(eager=eager)
+        _t("ck_states")
         host_state_next = host_state_next.coalesce(np_).localCheckpoint(eager=eager)
+        _t("ck_host")
         # history segments (att_seg/hop_seg, checkpointed above at
         # construction): appended to the lazy hist union, never
         # rewritten. Periodic compaction re-checkpoints the union so
@@ -1081,18 +1128,31 @@ class CrawlJob:
         # linear pass, no shuffle — amortized O(|hist|/K) per round vs
         # the old O(|state|·payload) rewrite).
         att_hist_next = att_hist.unionByName(att_seg)
-        hop_hist_next = hop_hist.unionByName(hop_seg)
-        hist_mat = [att_seg, hop_seg]
+        hist_mat = [att_seg]
         hk = settings.history_compact_rounds
         if hk > 0 and (round_no + 1) % hk == 0:
+            # prefix-only compaction: every chain in att_hist_next is
+            # already checkpoint-backed, so this handle is cheap
             att_hist_next = (att_hist_next.coalesce(np_)
                              .localCheckpoint(eager=eager))
-            hop_hist_next = (hop_hist_next.coalesce(np_)
-                             .localCheckpoint(eager=eager))
-            hist_mat = [att_hist_next, hop_hist_next]
-        delta = (round_results.unionByName(adm_results)
-                 .coalesce(np_).localCheckpoint(eager=eager))
-        _t("checkpoints")
+            hist_mat = [att_hist_next]
+        if not defer:
+            delta = (round_results.unionByName(adm_results)
+                     .coalesce(np_).localCheckpoint(eager=eager))
+        else:
+            delta = None
+        if precise:
+            hop_hist_next = hop_hist.unionByName(hop_seg)
+            if hk > 0 and (round_no + 1) % hk == 0:
+                hop_hist_next = (hop_hist_next.coalesce(np_)
+                                 .localCheckpoint(eager=eager))
+        else:
+            # the scale loop composes the next build's hop history
+            # itself (checkpointed prefix + exactly one raw layer, see
+            # _scale_loop's rotation) — a plan-to-plan chain here would
+            # accumulate raw layers unboundedly
+            hop_hist_next = None
+        _t("ck_delta")
         lin = None
         if self.collect_lineage:
             lin = (attempt_rows.groupBy("host")
@@ -1119,6 +1179,8 @@ class CrawlJob:
             attempt_rows=attempt_rows, parsed=parsed, red=red,
             states1=states1, round_results=round_results,
             adm=adm, adm_results=adm_results, delta=delta,
+            delta_raw=round_results.unionByName(adm_results),
+            hop_delta_raw=hop_delta,
             frontier_next=frontier_next, seen_next=seen_next,
             mat_seen=mat_seen,
             states2=states2, host_state_next=host_state_next,
@@ -1274,10 +1336,15 @@ class CrawlJob:
                 # overlap: construct round N+1's DAG (pure driver-side
                 # py4j work) while round N's actions run on the cluster;
                 # built speculatively — discarded if the frontier empties
+                # hop history for the speculative build: checkpointed
+                # prefix + exactly ONE raw layer (this round's — its
+                # action-thread checkpoint doesn't exist yet); the
+                # rotation below swaps the raw layer for the checkpoint
                 next_plan = self._build_round(
                     ctx.round_no + 1, self._scale_seq_base(ctx.round_no + 1),
                     plan.frontier_next, plan.seen_next, plan.states2,
-                    plan.att_hist_next, plan.hop_hist_next,
+                    plan.att_hist_next,
+                    hop_hist.unionByName(plan.hop_delta_raw),
                     plan.host_state_next, opts, pages_meta, hot_thr,
                     self._next_hot_hosts, precise=False, ctx=ctx)
                 stats = fut.result()
@@ -1321,7 +1388,17 @@ class CrawlJob:
                 frontier, seen, states = (plan.frontier_next, plan.seen_next,
                                           plan.states2)
                 host_state = plan.host_state_next
-                att_hist, hop_hist = plan.att_hist_next, plan.hop_hist_next
+                # hop rotation: the speculative next_plan saw ONE raw
+                # hop layer (plan.hop_hist_next); rounds after it chain
+                # from the action-thread checkpoint instead, so raw
+                # layers never accumulate
+                att_hist = plan.att_hist_next
+                hop_hist = hop_hist.unionByName(plan.hop_seg)
+                hk = self.settings.history_compact_rounds
+                if hk > 0 and (ctx.round_no + 1) % hk == 0:
+                    # prefix compaction — all chains checkpoint-backed
+                    hop_hist = (hop_hist.coalesce(self._n_parts)
+                                .localCheckpoint(eager=False))
                 self._pending_deltas.append(plan.delta)
                 self._pending_att.append(plan.att_seg)
                 self._pending_hops.append(plan.hop_seg)
@@ -1364,10 +1441,19 @@ class CrawlJob:
         self.spark.sparkContext.setJobGroup(
             self._job_group, "crawl round loop", interruptOnCancel=True)
         a0 = time.time()
+        if plan.delta is None:
+            # deferred from the build phase (checkpoint-handle
+            # discipline): the broadcast build sides chaining through
+            # this round's fetch fire HERE, on the action thread,
+            # overlapped with the next round's DAG construction
+            plan.hop_seg = (plan.hop_delta_raw.coalesce(self._n_parts)
+                            .localCheckpoint(eager=False))
+            plan.delta = (plan.delta_raw.coalesce(self._n_parts)
+                          .localCheckpoint(eager=False))
         n_delta = plan.delta.count()
         t_a = time.time() - a0
         mat = (plan.mat_seen, plan.states2, plan.host_state_next,
-               *plan.hist_mat)
+               *plan.hist_mat, plan.hop_seg)
         if plan.lin is not None:
             mat = (*mat, plan.lin)
         (n_fetched, wait_ms, n_err, n_retry, n_next, max_seq, hot,

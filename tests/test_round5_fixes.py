@@ -259,6 +259,44 @@ def test_resume_from_legacy_array_states_store(spark, tmp_path):
     assert got2 == got
 
 
+def test_scale_mode_deferred_checkpoints_match_golden(spark, tmp_path):
+    """The cluster-topology checkpoint schedule (hop segment + results
+    delta created on the action thread — CrawlJob.defer_heavy_checkpoints,
+    auto-on for non-local masters) must produce the identical crawl;
+    forced on here since tests run on a local master."""
+    from infinitycrawler_spark import golden
+    from infinitycrawler_spark.functions.robots import parse_robots_txt
+    from infinitycrawler_spark.plans.crawl_job import CrawlJob
+    from infinitycrawler_spark.settings import (
+        CrawlSettings,
+        RequestProcessorOptions,
+    )
+    from infinitycrawler_spark.sources.web import pages_df
+    from infinitycrawler_spark.synth.fixtures import basic_site
+
+    fx = basic_site()
+    settings = CrawlSettings(
+        request_processor_options=RequestProcessorOptions().no_delay())
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fx),
+        robots_map={h: parse_robots_txt(t) for h, t in fx.robots_txt.items()},
+        sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+        settings=settings, store_root=str(tmp_path / "state"),
+        collect_enqueue_log=False, exact_order=False,
+        snapshot_every=2, eager_checkpoint=False,
+        defer_heavy_checkpoints=True)
+    assert job._defer_ckpt is True
+    out = job.run()
+    g = golden.crawl(basic_site(), settings)
+    assert {(r.url, r.status, r.n_attempts) for r in out.results.collect()} \
+        == {(r.url, r.status, r.n_attempts) for r in g.results}
+    assert {r.url for r in out.seen.collect()} == g.seen
+    # attempt logs still complete through the deferred path
+    for r in out.results.collect():
+        if r.status == "Crawled":
+            assert len(r.attempts) == r.n_attempts, r.url
+
+
 # ----------------------------------------------------------- streaming
 
 
