@@ -30,8 +30,69 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+#: path → planned scan-side parallelism (parquet footer read, memoized).
+_SCAN_TASKS_CACHE: dict[str, int | None] = {}
+
+
+def _scan_tasks(path: str) -> int | None:
+    """Effective scan parallelism of a parquet input: Spark assigns each
+    ROW GROUP to exactly one task, so a single-file/single-row-group
+    table scans as ONE task no matter how many byte-range splits the
+    planner makes. None = unknown / many files (assume wide enough)."""
+    if path in _SCAN_TASKS_CACHE:
+        return _SCAN_TASKS_CACHE[path]
+    n: int | None = None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            n = pq.ParquetFile(path).metadata.num_row_groups
+        elif os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            # many files ⇒ at least one task each; close enough
+            n = None if len(parts) >= 32 else sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                for f in parts)
+    except Exception:
+        n = None
+    _SCAN_TASKS_CACHE[path] = n
+    return n
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = False) -> DataFrame:
+    """Read a table; with ``spread=True``, fix input under-parallelism
+    first (guide §2.5 input skew / §6 split size): parquet row groups
+    are the real split granularity, and the test tables ship as one
+    file with 1-6 row groups — so every per-row expression feeding the
+    first exchange (regex, md5, shingles, explodes, window sorts)
+    would run on 1-6 cores of the N available. The spread is one
+    deterministic hash repartition on the lead key column (xxhash64 of
+    a near-unique key, NOT rand() — §2.5) before any compute.
+
+    Opt-in per query because it trades one full-row shuffle for scan-
+    stage parallelism: a clear win where the pre-exchange work is CPU-
+    heavy (measured at sf1.0: minhash 12.6→3.4 s, ngram 28→15.6 s,
+    simhash 3.0→1.3 s, top-k windows ~2→1.1 s) and a loss where a
+    cheap partial aggregation would have shuffled almost nothing
+    (pricing_summary 0.58→1.61 s, events_tumbling, text_tokens).
+    Scale-adaptive: multi-file datasets (scan tasks ≥ cores/2) and
+    small files (< 4 MB — broadcast fodder) are never repartitioned,
+    so this is a no-op on real cluster-scale inputs."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    p = spark.sparkContext.defaultParallelism
+    tasks = _scan_tasks(path)
+    try:
+        big_enough = os.path.isfile(path) and os.path.getsize(path) >= 4 << 20
+    except OSError:
+        big_enough = True
+    if tasks is not None and tasks < max(p // 2, 2) and big_enough \
+            and df.columns:
+        df = df.repartition(p, F.xxhash64(F.col(df.columns[0])))
+    return df
 
 
 # =====================================================================
@@ -53,7 +114,7 @@ def q_pricing_summary(spark, sf):
 def q_topk_budget_window(spark, sf):
     """Deterministic top-k per group — the max-pages budget window
     (SURVEY.md O12): row_number over explicit sort keys, never limit."""
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders", spread=True)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (o.withColumn("rn", F.row_number().over(w))
@@ -174,7 +235,7 @@ def q_greatest_delay_merge(spark, sf):
 
 def q_window_last_attempt(spark, sf):
     """Window last-per-key — last attempt per URI (SURVEY.md O18)."""
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders", spread=True)
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     return (o.withColumn("rn", F.row_number().over(w))
@@ -185,7 +246,7 @@ def q_window_last_attempt(spark, sf):
 
 def q_explode_wordcount(spark, sf):
     """Explode — link expansion shape (SURVEY.md O26) over documents."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
     return (d.select(F.explode(F.split("text", " ")).alias("word"))
             .groupBy("word").agg(F.count("*").cast("long").alias("n"))
@@ -212,18 +273,19 @@ def q_dedup_exact(spark, sf):
 
 def q_dedup_minhash_lsh(spark, sf):
     from infinitycrawler_spark.operators.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), k=8, bands=4, shingle_n=3)
+    return minhash_lsh_pairs(_t(spark, sf, "documents", spread=True),
+                             k=8, bands=4, shingle_n=3)
 
 
 def q_dedup_simhash(spark, sf):
     from infinitycrawler_spark.operators.dedup import simhash_groups
-    return simhash_groups(_t(spark, sf, "documents"), bits=16)
+    return simhash_groups(_t(spark, sf, "documents", spread=True), bits=16)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
     from infinitycrawler_spark.operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), shingle_n=3,
-                               threshold=0.8, max_shingle_df=100)
+    return ngram_jaccard_pairs(_t(spark, sf, "documents", spread=True),
+                               shingle_n=3, threshold=0.8, max_shingle_df=100)
 
 
 def q_dedup_embedding_cosine(spark, sf):
@@ -362,7 +424,7 @@ def q_dedup_components(spark, sf):
     propagation fixpoint) → near-duplicate clusters with sizes. Oracle:
     the same pairs SQL + a recursive-CTE transitive closure."""
     from infinitycrawler_spark.operators.graph import minhash_components
-    return minhash_components(_t(spark, sf, "documents"),
+    return minhash_components(_t(spark, sf, "documents", spread=True),
                               k=8, bands=4, shingle_n=3)
 
 
@@ -373,7 +435,7 @@ def q_dedup_components_star(spark, sf):
     propagation). Oracle: identical recursive-CTE closure — both
     algorithms must produce the same labeling."""
     from infinitycrawler_spark.operators.graph import minhash_components
-    return minhash_components(_t(spark, sf, "documents"),
+    return minhash_components(_t(spark, sf, "documents", spread=True),
                               k=8, bands=4, shingle_n=3,
                               algorithm="star")
 
@@ -443,7 +505,7 @@ def q_text_langid(spark, sf):
 
 def q_text_quality(spark, sf):
     from infinitycrawler_spark.operators.text import quality_score
-    return quality_score(_t(spark, sf, "documents"))
+    return quality_score(_t(spark, sf, "documents", spread=True))
 
 
 def q_text_tokens(spark, sf):
@@ -453,7 +515,7 @@ def q_text_tokens(spark, sf):
 
 def q_text_fingerprint(spark, sf):
     from infinitycrawler_spark.operators.text import fingerprint
-    return fingerprint(_t(spark, sf, "documents"))
+    return fingerprint(_t(spark, sf, "documents", spread=True))
 
 
 # =====================================================================

@@ -39,16 +39,27 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per doc → (doc_id, sh)."""
-    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+def _shingle_array(n: int):
+    """Row-local n-word shingle array over a ``words`` column (the
+    split text). Returns the UNDEDUPLICATED shingle sequence; wrap in
+    ``F.array_distinct`` for set semantics — dedup then happens inside
+    the row instead of via a full (doc_id, sh) shuffle."""
     # guard: sequence(1, 0) would *descend* in Spark → empty array instead
-    shingle_arr = F.when(
+    return F.when(
         F.size("words") >= n,
         F.transform(F.sequence(F.lit(1), F.size("words") - (n - 1)),
                     lambda i: F.concat_ws(" ", F.slice("words", i, n))),
     ).otherwise(F.array().cast("array<string>"))
-    return words.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc → (doc_id, sh). The per-doc
+    dedup is row-local (``array_distinct`` before the explode), so this
+    is a narrow op — no ``.distinct()`` shuffle of the shingle set
+    (guide §2.4: the exploded (doc_id, sh) rows are already unique)."""
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    return words.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_array(n))).alias("sh"))
 
 
 def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
@@ -81,14 +92,40 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
     whose only agreeing bands are all hot is missed (recall loss on
     exactly the boilerplate clusters that were the cost problem), so it
     is off by default."""
-    sigs = minhash_signatures(word_shingles(docs, shingle_n), k)
+    # Single-shuffle signature computation (guide §2.3/§2.4): the k
+    # salted hashes are k codegen md5 COLUMNS over the exploded
+    # (doc_id, sh) rows — no crossJoin row blowup — and one
+    # groupBy(doc_id) with k min() aggregates (map-side partial agg,
+    # so the exchange carries |docs| rows × k digests) replaces the old
+    # THREE exchanges (shingle distinct + per-(doc,salt) min +
+    # per-(doc,band) collect_list). Band sigs become pure projections.
+    # Hashing stays under whole-stage codegen — a row-local
+    # transform()/array_min formulation was measured 3.5x SLOWER
+    # because higher-order functions evaluate interpreted.
+    sh = word_shingles(docs, shingle_n)
+    mh_cols = [
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("sh")))).alias(f"mh{s}")
+        for s in range(k)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mh_cols)
     rows_per_band = k // bands
+    # identical band partitioning and sig strings as the grouped form:
+    # band = salt // rows_per_band; sig = lexically-sorted "salt=mh"
+    # fragments joined by "|"
+    groups: dict[int, list[int]] = {}
+    for s in range(k):
+        groups.setdefault(s // rows_per_band, []).append(s)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(F.array_sort(F.array(*[
+                F.concat_ws("=", F.lit(s), F.col(f"mh{s}"))
+                for s in groups[b]])), "|").alias("sig"))
+        for b in sorted(groups)
+    ]
     banded = (sigs
-              .withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
-              .groupBy("doc_id", "band")
-              .agg(F.array_join(F.array_sort(
-                  F.collect_list(F.concat_ws("=", F.col("salt"), F.col("mh")))),
-                  "|").alias("sig")))
+              .select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+              .select("doc_id", "bs.band", "bs.sig"))
     if max_band_df is not None:
         hot = (banded.groupBy("band", "sig")
                .agg(F.count("*").alias("df"))
@@ -104,7 +141,14 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
 
 def simhash_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over word multisets (bit b set iff Σ ±1 votes > 0, vote
-    from bit b of md5(word)) → near-dup groups (simhash, n_docs)."""
+    from bit b of md5(word)) → near-dup groups (simhash, n_docs).
+
+    Shape note (optimization round): a row-local higher-order
+    ``aggregate`` over the split words (no explode, no per-doc shuffle)
+    was measured 3x SLOWER than this explode + partial-agg form — HOFs
+    evaluate interpreted while the explode path keeps md5/conv and the
+    16 vote sums under whole-stage codegen, and the groupBy exchange
+    only carries |docs| partially-aggregated rows anyway."""
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w"))
     hashed = words.select(
@@ -140,12 +184,18 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
     both use the capped sets — self-consistent and SQL-expressible).
     None disables the cap (exact Jaccard over all shingles)."""
     sh = word_shingles(docs, shingle_n)
+    # The df cap as a WINDOW count over sh (guide §2.4 — share one
+    # exchange): count(*) over (partition by sh) establishes
+    # hashpartitioning(sh) ONCE; the filter keeps rows inline, and the
+    # a×b self-join on sh then needs NO further exchange (its children
+    # are already sh-partitioned and sh-sorted — the second side is a
+    # ReusedExchange). The old groupBy-df + left_semi shape paid three
+    # exchanges of the full shingle set (df agg, semi join, self-join)
+    # on top of word_shingles' old .distinct() — this pays one.
     if max_shingle_df is not None:
-        df_ok = (sh.groupBy("sh")
-                 .agg(F.count("*").alias("df"))
-                 .filter(F.col("df") <= max_shingle_df)
-                 .select("sh"))
-        sh = sh.join(df_ok, "sh", "left_semi")
+        w_df = Window.partitionBy("sh")
+        sh = (sh.withColumn("df", F.count("*").over(w_df))
+              .filter(F.col("df") <= max_shingle_df).drop("df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
