@@ -159,10 +159,14 @@ class CrawlJob:
     #: driver-serial build phase never runs executor work — measured
     #: +30-40% 4-executor cluster throughput (the driver would
     #: otherwise stall N executors per round). False = create them at
-    #: build — on local[N] the driver SHARES the executor cores, so the
-    #: build-phase execution is free overlap that prefetches the next
-    #: round's chains (measured ~20% better local wall). None = auto:
-    #: defer unless the master is local[*].
+    #: build — the build-phase execution then prefetches the next
+    #: round's chains inline. None = auto: defer everywhere. (Round 5
+    #: measured inline ~20% better on local[16]; round 6 re-measured on
+    #: local[32] at sf1.0 with 4 interleaved pairs and deferral now wins
+    #: every pair — median 36.8 s vs 41.4 s — because the speculative
+    #: next-round build is the round critical path and deferral cuts it
+    #: from 8-12 s to ~2 s, including the always-discarded final-round
+    #: build. The auto default therefore defers on local too.)
     defer_heavy_checkpoints: bool | None = None
 
     def __post_init__(self):
@@ -198,8 +202,7 @@ class CrawlJob:
         self._next_frontier_count: int | None = None
         self._next_hot_hosts: set[str] | None = None
         if self.defer_heavy_checkpoints is None:
-            master = self.spark.sparkContext.master or ""
-            self._defer_ckpt = not master.startswith("local")
+            self._defer_ckpt = True
         else:
             self._defer_ckpt = bool(self.defer_heavy_checkpoints)
         self._n_seen = 0

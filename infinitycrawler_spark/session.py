@@ -46,6 +46,13 @@ def get_spark(app_name: str = "infinitycrawler-spark",
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4 captures a call-site stack trace per DataFrame
+        # expression for richer error messages — the conf's own doc
+        # calls the overhead non-trivial, and driver jstacks during the
+        # crawl round-build showed DataFrameQueryContext.<init> hot in
+        # analysis (the round loop builds thousands of expressions per
+        # round). Pure driver-side error-context nicety; off for speed.
+        .config("spark.sql.dataFrameQueryContext.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
