@@ -448,8 +448,17 @@ def q_link_pagerank(spark, sf):
     ~1e-17, far below the rounding quantum)."""
     from infinitycrawler_spark.operators.graph import pagerank
 
+    # Long-encoded node ids for the iterative loop (optimization round):
+    # the tagged-STRING ids ("c123", "o456") the oracle pins are a
+    # bijection of (prefix, numeric key), so the 5 join+agg iterations
+    # run over 8-byte longs (prefix in the high bits) and the strings
+    # are re-derived only for the 20-row output — same graph, same
+    # ranks, far cheaper hashing/shuffling of the |edges| rows.
+    prefixes = ["c", "o", "p", "s", "n"]
+    code = {p: i + 1 for i, p in enumerate(prefixes)}
+
     def tag(p, col):
-        return F.concat(F.lit(p), F.col(col).cast("string"))
+        return (F.lit(code[p] << 40) + F.col(col).cast("long"))
 
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
@@ -467,7 +476,11 @@ def q_link_pagerank(spark, sf):
                     .select(tag("n", "c_nationkey"), tag("c", "c_custkey")))
              .distinct())
     pr = pagerank(edges, iters=5, damping=0.85)
-    return (pr.select("id", F.round("rank", 9).alias("rank_r"))
+    str_id = F.concat(
+        F.element_at(F.array(*[F.lit(p) for p in prefixes]),
+                     F.shiftright("id", 40).cast("int")),
+        (F.col("id").bitwiseAND(F.lit((1 << 40) - 1))).cast("string"))
+    return (pr.select(str_id.alias("id"), F.round("rank", 9).alias("rank_r"))
             .orderBy(F.desc("rank_r"), "id").limit(20))
 
 
@@ -549,7 +562,7 @@ def q_events_tumbling(spark, sf):
 
 def q_events_json(spark, sf):
     """JSON extraction from the props column."""
-    e = _t(spark, sf, "events")
+    e = _t(spark, sf, "events", spread=True)
     k = F.get_json_object("props", "$.k").cast("int")
     return (e.select("event_type", k.alias("k"))
             .groupBy("event_type")

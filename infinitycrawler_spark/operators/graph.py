@@ -39,20 +39,38 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     unaffected. rank_0 = 1/N; rank_{k+1}(v) = (1-d)/N +
     d·Σ_{(u,v)∈E} rank_k(u)/outdeg(u).
     """
+    # the caller's edge expression is referenced four times during
+    # setup (both node legs, the degree agg, the degree join) — persist
+    # it so an expensive upstream build (unions + distinct over tagged
+    # keys) runs once instead of per reference
+    edges = edges.persist()
+    # nodes is referenced by EVERY iteration's left join — persist it,
+    # or the |edges|-row union+distinct re-executes once per iteration
     nodes = (edges.select(F.col(src).alias("id"))
              .union(edges.select(F.col(dst).alias("id")))
-             .distinct())
+             .distinct()
+             .persist())
     n_nodes = nodes.count()  # one-time scalar; reused by every iteration
     outdeg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    # fold degrees into the edge list once — the loop only touches this
+    # fold degrees into the edge list once — the loop only touches this.
+    # Hash-partition by e_src BEFORE persisting (guide §2.4): the
+    # per-iteration join keys on e_src, so the persisted partitioning
+    # satisfies the join's requirement and only the (small) ranks side
+    # is exchanged each iteration instead of the whole edge list.
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
     edges_deg = edges.join(outdeg, src).select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "deg")
-    edges_deg = edges_deg.persist()
+    edges_deg = edges_deg.repartition(n_parts, "e_src").persist()
     base = F.lit((1.0 - damping) / n_nodes)
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(iters):
+        # SHUFFLE_HASH on the ranks side: a sort-merge join here re-sorts
+        # the whole edge list every iteration; hashing the (|nodes|-row)
+        # ranks side instead leaves the persisted e_src partitioning as
+        # the only edge-side requirement (guide §3.1)
         contrib = (edges_deg
-                   .join(ranks, edges_deg.e_src == ranks.id)
+                   .join(ranks.hint("shuffle_hash"),
+                         edges_deg.e_src == ranks.id)
                    .groupBy("e_dst")
                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("c")))
         ranks = (nodes.join(contrib, nodes.id == contrib.e_dst, "left")
@@ -67,6 +85,8 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     # once and truncates its lineage, same discipline as the crawl loop
     ranks = ranks.localCheckpoint(eager=True)
     edges_deg.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
     return ranks
 
 
@@ -154,10 +174,16 @@ def connected_components_star(edges: DataFrame, src: str = "src",
          .localCheckpoint())
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint()
-        # fixpoint ⟺ identical edge sets; both are distinct sets, so
-        # equal counts + empty one-way difference suffices
-        changed = (new_e.count() != e.count()
-                   or not new_e.exceptAll(e).isEmpty())
+        # fixpoint ⟺ identical edge sets. ONE action (VERDICT r5 #6):
+        # both sides are distinct sets, so tagging rows ±1 and keeping
+        # groups with a nonzero sum yields exactly the symmetric
+        # difference — empty ⟺ unchanged. (Was: a count plus an
+        # exceptAll/isEmpty — two driver actions per round.)
+        sym_diff = (new_e.withColumn("t", F.lit(1))
+                    .unionByName(e.withColumn("t", F.lit(-1)))
+                    .groupBy("u", "v").agg(F.sum("t").alias("s"))
+                    .filter(F.col("s") != 0))
+        changed = not sym_diff.isEmpty()
         e = new_e
         if not changed:
             break
