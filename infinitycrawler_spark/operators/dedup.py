@@ -182,33 +182,76 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
     shingle can never make candidate generation quadratic. Jaccard is
     then exact over the capped shingle sets (sizes and intersections
     both use the capped sets — self-consistent and SQL-expressible).
-    None disables the cap (exact Jaccard over all shingles)."""
+    None disables the cap (exact Jaccard over all shingles).
+
+    Candidate generation is a PREFIX-FILTERED similarity self-join
+    (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): order every doc's
+    shingles by global rarity (df asc, sh asc — one total order), keep
+    only the first ``sz - ceil(t'·sz) + 1`` as the doc's *prefix*, and
+    self-join prefixes instead of full shingle sets. Theorem: two sets
+    with J ≥ t' must share their order-smallest common element inside
+    BOTH prefixes, so no qualifying pair is lost; a size-ratio filter
+    (``t'·sz_a ≤ sz_b`` both ways) and PPJoin's POSITIONAL filter
+    (``1 + min(sz_a - rnk_a, sz_b - rnk_b) ≥ t'/(1+t')·(sz_a+sz_b)``,
+    an overlap upper bound from the matched element's rank — satisfied
+    at the smallest common element of any qualifying pair, so also
+    lossless) prune further before the pair distinct; both are implied
+    by J ≥ t' so they only drop non-qualifying candidates (measured:
+    5.6M → 2.0M candidate pairs at sf1.0 density). t' = threshold - 1e-4
+    absorbs the output's ``round(j, 4) >= threshold`` edge (a pair at
+    j = t - 0.00004 rounds UP into the result and must not be lost) and
+    float-product edges like 0.8·50 → 40.000000000000006. Exact common
+    counts for the surviving candidates come from a row-local
+    ``array_intersect`` over the per-doc shingle arrays — the old
+    100M-row (doc_a, doc_b) groupBy at high shingle density is gone."""
     sh = word_shingles(docs, shingle_n)
-    # The df cap as a WINDOW count over sh (guide §2.4 — share one
-    # exchange): count(*) over (partition by sh) establishes
-    # hashpartitioning(sh) ONCE; the filter keeps rows inline, and the
-    # a×b self-join on sh then needs NO further exchange (its children
-    # are already sh-partitioned and sh-sorted — the second side is a
-    # ReusedExchange). The old groupBy-df + left_semi shape paid three
-    # exchanges of the full shingle set (df agg, semi join, self-join)
-    # on top of word_shingles' old .distinct() — this pays one.
+    # df as a WINDOW count over sh (guide §2.4 — share one exchange):
+    # count(*) over (partition by sh) establishes hashpartitioning(sh)
+    # once and both the cap filter and the prefix rarity order read it
+    # inline — no separate groupBy-df + join of the shingle set.
+    w_df = Window.partitionBy("sh")
+    sh = sh.withColumn("df", F.count("*").over(w_df))
     if max_shingle_df is not None:
-        w_df = Window.partitionBy("sh")
-        sh = (sh.withColumn("df", F.count("*").over(w_df))
-              .filter(F.col("df") <= max_shingle_df).drop("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (a.join(b, "sh")
-              .filter(F.col("doc_a") < F.col("doc_b"))
-              .groupBy("doc_a", "doc_b")
-              .agg(F.count("*").alias("common")))
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (common.join(sz_a, "doc_a").join(sz_b, "doc_b")
+        sh = sh.filter(F.col("df") <= max_shingle_df)
+    t_eff = max(threshold - 1e-4, 0.0)
+    # per-doc size + rarity rank share ONE doc_id exchange (§2.4: the
+    # two windows and the collect_list below are all doc_id-partitioned)
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (sh.withColumn("sz", F.count("*").over(w_doc))
+              .withColumn("rnk", F.row_number().over(w_rank)))
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz")) + 1)
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "sh",
+                      F.col("sz").alias("sz_a"), F.col("rnk").alias("rnk_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "sh",
+                      F.col("sz").alias("sz_b"), F.col("rnk").alias("rnk_b"))
+    alpha = F.lit(t_eff / (1 + t_eff)) * (F.col("sz_a") + F.col("sz_b"))
+    cand = (a.join(b, "sh")
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("sz_b") >= F.lit(t_eff) * F.col("sz_a"))
+                    & (F.col("sz_a") >= F.lit(t_eff) * F.col("sz_b"))
+                    & (F.lit(1) + F.least(F.col("sz_a") - F.col("rnk_a"),
+                                          F.col("sz_b") - F.col("rnk_b"))
+                       >= alpha))
+            .select("doc_a", "doc_b")
+            .distinct())
+    # full shingle set per doc as ONE array row, built from ``ranked``
+    # so it REUSES the doc_id exchange the windows established (§2.4);
+    # candidates then verify row-locally. SHUFFLE_HASH: the sets side
+    # is |docs| array rows — hashing it beats sorting the candidate
+    # pair stream (§3.1), and a broadcast would not be 100 TB-safe.
+    sets = ranked.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    set_a = sets.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shs").alias("shs_a")).hint("SHUFFLE_HASH")
+    set_b = sets.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shs").alias("shs_b")).hint("SHUFFLE_HASH")
+    return (cand.join(set_a, "doc_a").join(set_b, "doc_b")
+            .withColumn("common", F.size(F.array_intersect("shs_a", "shs_b")))
             .withColumn("jaccard",
                         F.round(F.col("common")
-                                / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4))
+                                / (F.size("shs_a") + F.size("shs_b")
+                                   - F.col("common")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
