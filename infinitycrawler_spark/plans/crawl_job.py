@@ -207,6 +207,11 @@ class CrawlJob:
             self._defer_ckpt = bool(self.defer_heavy_checkpoints)
         self._n_seen = 0
         self._n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # scale ceiling for the adaptive per-round partitioning (guide
+        # §2: derive parallelism from input size, conf as the cluster-
+        # scale cap); _n_parts itself is adapted per round in scale mode
+        self._n_parts_cap = self._n_parts
+        self._n_pages: int | None = None
         self._bloom_store = (
             BloomShardStore(self.store_root, n_buckets=self.bloom_buckets,
                             capacity_per_bucket=self.bloom_capacity)
@@ -241,7 +246,7 @@ class CrawlJob:
             # is a one-time cost (amortized over the whole crawl), and
             # leaving the persist lazy would otherwise charge the full
             # payload shuffle to round 0's first action
-            self.pages.count()
+            self._n_pages = self.pages.count()
         if self.fetch_robots or self.discover_sitemaps:
             self._discover()
 
@@ -472,6 +477,9 @@ class CrawlJob:
         prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
         spark.conf.set("spark.sql.codegen.wholeStage",
                        os.environ.get("SPARK_GRAFT_CODEGEN", "false"))
+        # the scale loop adapts spark.sql.shuffle.partitions per round
+        # (_set_round_parts); remember the caller's value to restore
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
         try:
             return self._run(extra_queue_urls, max_rounds, resume)
         except CrawlCancelled:
@@ -496,6 +504,8 @@ class CrawlJob:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
             spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            self._n_parts = self._n_parts_cap
             spark.sparkContext.setJobGroup("", "")
 
     def _run(self, extra_queue_urls: list[str] | None = None,
@@ -578,6 +588,15 @@ class CrawlJob:
             precise = (settings.max_number_of_pages_to_crawl > 0
                        or self.exact_order
                        or settings.replay_mode == "serialized")
+            if not precise:
+                # scale-adaptive partitioning for the pre-loop admission
+                # (guide §2: parallelism from input size; the conf stays
+                # the cluster-scale CEILING). |pages| bounds the seed
+                # set, so it sizes the round-0 exchanges; per-round
+                # sizes take over inside the loop. Perf-only: partition
+                # counts never change any output.
+                self._set_round_parts(self._adaptive_parts(
+                    self._n_pages, target=8000))
             # round-0 admission: seed + sitemap candidates
             adm = admit(self._seed_candidates(), seen, states, self.robots_map,
                         settings, self.base_host, budget_base=0, seq_base=0,
@@ -1341,6 +1360,10 @@ class CrawlJob:
                 if self._cancel_evt.is_set():
                     break
                 rt0 = time.time()
+                # adapt partitioning to this round's frontier size; the
+                # overlapped next_plan inherits it as a one-round-stale
+                # proxy (perf-only — partitioning never changes results)
+                self._set_round_parts(self._adaptive_parts(n_frontier))
                 ctx.seq_base = self._scale_seq_base(ctx.round_no)
                 if plan is None:
                     plan = self._build_round(
@@ -1483,6 +1506,27 @@ class CrawlJob:
             n_retry=int(n_retry or 0), n_next=int(n_next),
             max_seq=max_seq, hot=hot, n_seen_add=int(n_seen_add),
             t_a=t_a, t_b=time.time() - a0 - t_a)
+
+    def _adaptive_parts(self, n_rows: int | None, target: int = 6000) -> int:
+        """Partition count derived from the round's input size (guide
+        §2.2/§2.5: fewer, larger partitions; measured optimum ≈ 6-8k
+        frontier rows/partition on this loop), floored at 4 and capped
+        at the session's configured shuffle partitions — the conf keeps
+        governing cluster-scale runs, the derivation only prevents a
+        small round from paying hundreds of near-empty tasks per stage."""
+        if not n_rows or n_rows <= 0:
+            return self._n_parts_cap
+        import math
+        return max(4, min(self._n_parts_cap, math.ceil(n_rows / target)))
+
+    def _set_round_parts(self, np_: int) -> None:
+        """Apply an adaptive partition count to both consumers: the
+        coalesce width of checkpoint handles (_n_parts) and the SQL
+        shuffle partitions of plans built from here on. run() restores
+        the session conf afterwards."""
+        if np_ != self._n_parts:
+            self._n_parts = np_
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(np_))
 
     def _persistent_rdd_ids(self) -> set[int]:
         ids = set()
