@@ -1344,6 +1344,8 @@ class CrawlJob:
 
         actions = ThreadPoolExecutor(max_workers=1,
                                      thread_name_prefix="crawl-actions")
+        prep = ThreadPoolExecutor(max_workers=1,
+                                  thread_name_prefix="crawl-prep")
         plan = None
         next_plan = None
         try:
@@ -1386,6 +1388,11 @@ class CrawlJob:
                     hop_hist.unionByName(plan.hop_delta_raw),
                     plan.host_state_next, opts, pages_meta, hot_thr,
                     self._next_hot_hosts, precise=False, ctx=ctx)
+                # pipelined handle prep: round N+1's toRdd (analysis +
+                # broadcast builds, driver-serial) runs while round N's
+                # actions keep the executors busy
+                next_plan.prep_fut = prep.submit(
+                    self._prepare_handles, next_plan)
                 stats = fut.result()
                 ctx.results_total += stats.n_delta
                 self._bloom_fold(stats.n_seen_add, plan.seen_add,
@@ -1465,10 +1472,36 @@ class CrawlJob:
             # CacheManager doesn't accumulate for the session's lifetime
             for p in (plan, next_plan):
                 if p is not None:
+                    pf = getattr(p, "prep_fut", None)
+                    if pf is not None:
+                        p.prep_fut = None
+                        try:
+                            pf.result()
+                        except Exception:
+                            pass  # loop error already in flight
                     for df in p.caches:
                         df.unpersist()
+            prep.shutdown(wait=True)
             actions.shutdown(wait=True)
         return frontier, seen, states, att_hist, hop_hist, host_state
+
+    def _prepare_handles(self, plan):
+        """Create the deferred heavy checkpoint HANDLES. ``toRdd`` at
+        handle creation runs Catalyst analysis AND the plan's broadcast
+        build sides — 2-3.7 s/round of driver-serial time (measured,
+        sf0.1), during which the cluster would otherwise idle. The
+        scale loop therefore calls this on a prep thread right after
+        the round's DAG is built, overlapping the PREVIOUS round's
+        executor actions; _run_actions joins the future (or falls back
+        inline) so the action thread mostly pays only the count."""
+        if plan.delta is not None:
+            return
+        self.spark.sparkContext.setJobGroup(
+            self._job_group, "crawl handle prep", interruptOnCancel=True)
+        plan.hop_seg = (plan.hop_delta_raw.coalesce(self._n_parts)
+                        .localCheckpoint(eager=False))
+        plan.delta = (plan.delta_raw.coalesce(self._n_parts)
+                      .localCheckpoint(eager=False))
 
     def _run_actions(self, plan, hot_thr):
         """Round actions on the worker thread: A materializes the heavy
@@ -1480,17 +1513,25 @@ class CrawlJob:
         self.spark.sparkContext.setJobGroup(
             self._job_group, "crawl round loop", interruptOnCancel=True)
         a0 = time.time()
+        prep = getattr(plan, "prep_fut", None)
+        if prep is not None:
+            # handles were prepared on the prep thread while the
+            # PREVIOUS round's actions kept the cluster busy — join
+            plan.prep_fut = None
+            prep.result()
         if plan.delta is None:
             # deferred from the build phase (checkpoint-handle
             # discipline): the broadcast build sides chaining through
             # this round's fetch fire HERE, on the action thread,
             # overlapped with the next round's DAG construction
-            plan.hop_seg = (plan.hop_delta_raw.coalesce(self._n_parts)
-                            .localCheckpoint(eager=False))
-            plan.delta = (plan.delta_raw.coalesce(self._n_parts)
-                          .localCheckpoint(eager=False))
+            self._prepare_handles(plan)
+        t_han = time.time() - a0
         n_delta = plan.delta.count()
         t_a = time.time() - a0
+        if os.environ.get("SPARK_GRAFT_TRACE"):
+            import sys as _sys
+            print(f"TRACE actions round={plan.round_no} t_handles="
+                  f"{t_han:.2f} t_count={t_a - t_han:.2f}", file=_sys.stderr)
         mat = (plan.mat_seen, plan.states2, plan.host_state_next,
                *plan.hist_mat, plan.hop_seg)
         if plan.lin is not None:
