@@ -160,3 +160,141 @@ def test_spread_read_is_identity_on_rows(spark, tmp_path):
     # tiny file (< 4 MB): the spread must be a no-op (no repartition)
     assert "Exchange" not in (e._t(spark, p, "t", spread=True)
                               ._jdf.queryExecution().executedPlan().toString())
+
+
+# ------------------------------------------------------------------
+# bonus-phase rewrites: prefix-filtered ngram join, token_stats runs,
+# crawl persist release + adaptive partitioning
+# ------------------------------------------------------------------
+
+def _old_ngram_pairs(docs, shingle_n=3, threshold=0.8, max_shingle_df=None):
+    """The pre-prefix-filter formulation (full shingle self-join +
+    (doc_a, doc_b) groupBy), verbatim, as the equivalence reference."""
+    from pyspark.sql import Window
+    sh = word_shingles(docs, shingle_n)
+    if max_shingle_df is not None:
+        w_df = Window.partitionBy("sh")
+        sh = (sh.withColumn("df", F.count("*").over(w_df))
+              .filter(F.col("df") <= max_shingle_df).drop("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (a.join(b, "sh")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("common")))
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sz").alias("sz_b"))
+    return (common.join(sz_a, "doc_a").join(sz_b, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("common")
+                                / (F.col("sz_a") + F.col("sz_b")
+                                   - F.col("common")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+@pytest.mark.parametrize("threshold,cap", [(0.8, None), (0.8, 5),
+                                           (0.5, None), (0.0, 5), (1.0, None)])
+def test_ngram_prefix_filter_equals_old_formulation(spark, docs, threshold, cap):
+    new = ngram_jaccard_pairs(docs, shingle_n=3, threshold=threshold,
+                              max_shingle_df=cap)
+    old = _old_ngram_pairs(docs, shingle_n=3, threshold=threshold,
+                           max_shingle_df=cap)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_ngram_prefix_filter_keeps_exact_threshold_pair(spark):
+    """A pair at jaccard == threshold EXACTLY must survive the prefix/
+    positional filters (they use t' = t - 1e-4 to absorb the rounding
+    boundary of the final round(j, 4) >= t predicate)."""
+    # doc 0/1: 9 shingles each, 8 common -> j = 8/10 = 0.8 exactly
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"        # 9 trigram shingles
+    b = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"         # 8 shared + 1 own
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, "q r s t u v")],
+        "doc_id long, text string")
+    got = [(r.doc_a, r.doc_b, r.jaccard) for r in
+           ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.8,
+                               max_shingle_df=None).collect()]
+    assert got == [(0, 1, 0.8)]
+
+
+def test_token_stats_equals_old_formula_on_edges(spark):
+    from infinitycrawler_spark.operators.text import token_stats
+    rows = [(0, "hello world", "en"), (1, "", "en"), (2, "!!! ???", "de"),
+            (3, "  a  b  ", "de"), (4, "ABC def", "fr"), (5, None, "fr"),
+            (6, "ümlaut tëst", "es"), (7, "-", "es"),
+            (8, "a1b2 c3", "zh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    old_tokens = F.size(F.split(
+        F.trim(F.regexp_replace("text", "[^a-z0-9 ]", " ")), " +"))
+    old = (docs.select("lang", old_tokens.alias("n_tokens"))
+           .groupBy("lang")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+                F.max("n_tokens").alias("max_tokens"),
+                F.min("n_tokens").alias("min_tokens"))
+           .orderBy("lang"))
+    got = token_stats(docs)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in old.collect()]
+
+
+def test_crawl_run_releases_run_scoped_persists(spark, tmp_path):
+    from infinitycrawler_spark.functions.robots import parse_robots_txt
+    from infinitycrawler_spark.plans.crawl_job import CrawlJob
+    from infinitycrawler_spark.settings import (
+        CrawlSettings, RequestProcessorOptions)
+    from infinitycrawler_spark.sources.web import pages_df
+    from infinitycrawler_spark.synth.fixtures import basic_site
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    fx = basic_site()
+    settings = CrawlSettings(
+        request_processor_options=RequestProcessorOptions().no_delay())
+    before = n_persisted()
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fx),
+        robots_map={h: parse_robots_txt(t) for h, t in fx.robots_txt.items()},
+        sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+        settings=settings, store_root=str(tmp_path / "state"),
+        collect_enqueue_log=False, exact_order=False,
+        snapshot_every=100, eager_checkpoint=False)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    out = job.run()
+    # adaptive per-round partitioning must restore the session conf
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+    # run-scoped checkpoints released; only the job's pages cache stays
+    assert n_persisted() <= before + 1
+    # the returned tables are parquet-backed and remain fully readable
+    assert out.results.count() > 0
+    assert out.seen.count() >= out.results.count()
+
+
+def test_adaptive_parts_bounds(spark, tmp_path):
+    from infinitycrawler_spark.plans.crawl_job import CrawlJob
+    from infinitycrawler_spark.settings import (
+        CrawlSettings, RequestProcessorOptions)
+    from infinitycrawler_spark.sources.web import pages_df
+    from infinitycrawler_spark.synth.fixtures import basic_site
+
+    fx = basic_site()
+    job = CrawlJob(
+        spark=spark, pages=pages_df(spark, fx), robots_map={},
+        sitemap_urls=fx.sitemap_urls, seed_uri=fx.seed_uri,
+        settings=CrawlSettings(
+            request_processor_options=RequestProcessorOptions().no_delay()),
+        store_root=str(tmp_path / "state"))
+    cap = job._n_parts_cap
+    assert job._adaptive_parts(None) == cap
+    assert job._adaptive_parts(0) == cap
+    assert job._adaptive_parts(1) == 4
+    assert job._adaptive_parts(100) == 4
+    assert job._adaptive_parts(6000 * cap + 1) == cap
+    assert job._adaptive_parts(10 ** 12) == cap
