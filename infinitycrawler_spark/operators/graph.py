@@ -104,18 +104,27 @@ def connected_components(edges: DataFrame, src: str = "src",
     labels = (sym.select("u").distinct()
               .select("u", F.col("u").alias("label")))
     for _ in range(max_iter):
-        # candidate label for u: min over neighbours' labels and its own
+        # candidate label for u: min over neighbours' labels and its
+        # own. The own-label leg is tagged so the SAME groupBy also
+        # emits each node's previous label (labels has exactly one row
+        # per u, so min-over-the-tagged-leg IS the old label); the
+        # changed count then rides the one materializing action instead
+        # of a second per-round join+count action (guide §2.4 — the
+        # old shape paid 2 actions and an extra label-table join per
+        # round; labels are identical either way).
+        own = labels.select("u", "label", F.lit(True).alias("own"))
         neigh = (sym.join(labels.withColumnRenamed("u", "v"), "v")
-                 .select("u", "label"))
-        new_labels = (labels.unionByName(neigh)
-                      .groupBy("u")
-                      .agg(F.min("label").alias("label"))
-                      .localCheckpoint())  # truncate per-round lineage
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "u")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
+                 .select("u", "label", F.lit(False).alias("own")))
+        nl = (own.unionByName(neigh)
+              .groupBy("u")
+              .agg(F.min("label").alias("label"),
+                   F.min(F.when(F.col("own"), F.col("label")))
+                   .alias("old_label"))
+              .localCheckpoint(eager=False))  # truncate per-round lineage
+        # ONE action: counting changed labels scans every partition of
+        # the lazy checkpoint, materializing its blocks as a side effect
+        changed = nl.filter(F.col("label") != F.col("old_label")).count()
+        labels = nl.select("u", "label")
         if changed == 0:
             break
     else:
