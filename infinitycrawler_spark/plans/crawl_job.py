@@ -1557,6 +1557,8 @@ class CrawlJob:
         small round from paying hundreds of near-empty tasks per stage."""
         if not n_rows or n_rows <= 0:
             return self._n_parts_cap
+        if os.environ.get("SPARK_GRAFT_ADAPTIVE_PARTS", "1") == "0":
+            return self._n_parts_cap  # A/B kill-switch (perf-only)
         import math
         return max(4, min(self._n_parts_cap, math.ceil(n_rows / target)))
 
